@@ -1,0 +1,24 @@
+"""baspacho_tpu — TPU-native batched supernodal sparse Cholesky.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+facebookresearch/baspacho: host-side symbolic analysis emits static block
+plans; numeric factor/solve run as shape-static jitted kernels over flat
+HBM buffers, with batching as a vmapped leading axis and multi-chip
+scaling via jax.sharding over the batch dimension.
+"""
+
+from .sparse_structure import SparseStructure
+from .utils import (
+    cum_sum_vec,
+    inverse_permutation,
+    compose_permutations,
+    left_permute,
+)
+
+__all__ = [
+    "SparseStructure",
+    "cum_sum_vec",
+    "inverse_permutation",
+    "compose_permutations",
+    "left_permute",
+]

@@ -1,0 +1,123 @@
+"""Loader for the optional C++ symbolic-analysis kernels.
+
+The hot host-side graph algorithms (AMD ordering, symbolic fill, etree
+build) have C++ implementations in native/symbolic.cpp, built into
+libbaspacho_symbolic.so and called through ctypes. Everything has a pure
+NumPy/Python fallback, so the library works without the native build; the
+native path is auto-selected when the shared object is present.
+
+This mirrors the split in the reference where symbolic analysis runs in
+optimized C++ (SparseStructure.cpp, EliminationTree.cpp) while here the
+numeric path is JAX/XLA instead of BLAS/CUDA.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.path.join(here, "..", "native", "libbaspacho_symbolic.so"),
+        os.path.join(here, "libbaspacho_symbolic.so"),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                _bind(lib)
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.bs_amd_order.restype = ctypes.c_int
+    lib.bs_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.bs_full_elim_fill_count.restype = ctypes.c_int64
+    lib.bs_full_elim_fill_count.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.bs_full_elim_fill_fill.restype = ctypes.c_int
+    lib.bs_full_elim_fill_fill.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.bs_build_etree.restype = ctypes.c_int
+    lib.bs_build_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p]
+
+
+def _as_i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def try_amd_order(ptrs: np.ndarray, inds: np.ndarray) -> Optional[np.ndarray]:
+    """Returns perm (perm[i] = old index at new position i) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptrs) - 1
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.bs_amd_order(n, _as_i64p(ptrs), _as_i64p(inds), _as_i64p(perm))
+    if rc != 0:
+        return None
+    return perm
+
+
+def try_full_elim_fill(ptrs: np.ndarray,
+                       inds: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Full symbolic Cholesky fill; returns (out_ptrs, out_inds) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptrs) - 1
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    out_ptrs = np.empty(n + 1, dtype=np.int64)
+    total = lib.bs_full_elim_fill_count(n, _as_i64p(ptrs), _as_i64p(inds),
+                                        _as_i64p(out_ptrs))
+    if total < 0:
+        return None
+    out_inds = np.empty(total, dtype=np.int64)
+    rc = lib.bs_full_elim_fill_fill(n, _as_i64p(ptrs), _as_i64p(inds),
+                                    _as_i64p(out_ptrs), _as_i64p(out_inds))
+    if rc != 0:
+        return None
+    return out_ptrs, out_inds
+
+
+def try_build_etree(ptrs: np.ndarray, inds: np.ndarray, param_size: np.ndarray):
+    """Elimination tree + per-node row stats; returns
+    (parent, node_rows, node_row_blocks, per_col_counts_csr) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptrs) - 1
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    param_size = np.ascontiguousarray(param_size, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    node_rows = np.zeros(n, dtype=np.int64)
+    node_row_blocks = np.zeros(n, dtype=np.int64)
+    rc = lib.bs_build_etree(n, _as_i64p(ptrs), _as_i64p(inds),
+                            _as_i64p(param_size), _as_i64p(parent),
+                            _as_i64p(node_rows), _as_i64p(node_row_blocks))
+    if rc != 0:
+        return None
+    return parent, node_rows, node_row_blocks
