@@ -8,6 +8,16 @@ scaling via jax.sharding over the batch dimension.
 """
 
 from .sparse_structure import SparseStructure
+from .block_matrix import CoalescedBlockMatrixSkel
+from .accessor import CoalescedAccessor, PermutedCoalescedAccessor
+from .computation_model import ComputationModel
+from .solver import (
+    AddFillPolicy,
+    BackendType,
+    Settings,
+    Solver,
+    create_solver,
+)
 from .utils import (
     cum_sum_vec,
     inverse_permutation,
@@ -17,6 +27,15 @@ from .utils import (
 
 __all__ = [
     "SparseStructure",
+    "CoalescedBlockMatrixSkel",
+    "CoalescedAccessor",
+    "PermutedCoalescedAccessor",
+    "ComputationModel",
+    "AddFillPolicy",
+    "BackendType",
+    "Settings",
+    "Solver",
+    "create_solver",
     "cum_sum_vec",
     "inverse_permutation",
     "compose_permutations",

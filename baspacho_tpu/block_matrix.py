@@ -1,0 +1,209 @@
+"""Coalesced block-matrix layout: the factor's storage skeleton.
+
+Vocabulary (same as the reference CoalescedBlockMatrix.h:23-37):
+  * span  — an original parameter block (after reordering)
+  * lump  — a supernode: a run of consecutive spans merged into one column
+  * chain — one (span-rows x lump-cols) block within a column
+  * board — a run of chains of one column falling in the same row-lump
+
+Numeric data is a single flat vector: each lump-column's chains are stored
+contiguously as one row-major (total-rows x lump-size) matrix. This makes a
+whole column (or any row range of it) a contiguous 2-D slice — ideal for
+XLA: per-lump panels are `data[off : off + rows*cols].reshape(rows, cols)`
+with static offsets, and bucketed gathers of many chains become single
+`take` ops.
+
+All index arrays are host NumPy int64, built once per symbolic plan
+(counterpart of /root/reference/baspacho/baspacho/CoalescedBlockMatrix.cpp).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+
+from .utils import cum_sum_vec, is_strictly_increasing
+
+INVALID = -1
+
+
+class CoalescedBlockMatrixSkel:
+    def __init__(self, span_start, lump_to_span, col_ptr, row_ind):
+        span_start = np.asarray(span_start, dtype=np.int64)
+        lump_to_span = np.asarray(lump_to_span, dtype=np.int64)
+        col_ptr = np.asarray(col_ptr, dtype=np.int64)
+        row_ind = np.asarray(row_ind, dtype=np.int64)
+        assert len(span_start) >= len(lump_to_span) >= 1
+        assert span_start.size - 1 == lump_to_span[-1]
+        assert len(col_ptr) == len(lump_to_span)
+        assert is_strictly_increasing(span_start)
+        assert is_strictly_increasing(lump_to_span)
+
+        num_spans = len(span_start) - 1
+        num_lumps = len(lump_to_span) - 1
+        tot_size = int(span_start[-1])
+        self.span_start = span_start
+        self.lump_to_span = lump_to_span
+
+        span_to_lump = np.empty(num_spans + 1, dtype=np.int64)
+        span_counts = lump_to_span[1:] - lump_to_span[:-1]
+        span_to_lump[:num_spans] = np.repeat(
+            np.arange(num_lumps, dtype=np.int64), span_counts)
+        span_to_lump[num_spans] = num_lumps
+        self.span_to_lump = span_to_lump
+        lump_start = np.empty(num_lumps + 1, dtype=np.int64)
+        lump_start[:num_lumps] = span_start[lump_to_span[:num_lumps]]
+        lump_start[num_lumps] = tot_size
+        self.lump_start = lump_start
+        span_offset_in_lump = np.zeros(num_spans + 1, dtype=np.int64)
+        span_offset_in_lump[:num_spans] = (
+            span_start[:num_spans] - lump_start[span_to_lump[:num_spans]])
+        self.span_offset_in_lump = span_offset_in_lump
+
+        span_size = span_start[1:] - span_start[:-1]
+        lump_size = lump_start[1:] - lump_start[:-1]
+
+        # validate: each column starts with its full diagonal block
+        for l in range(num_lumps):
+            cs, ce = col_ptr[l], col_ptr[l + 1]
+            s0, s1 = lump_to_span[l], lump_to_span[l + 1]
+            assert is_strictly_increasing(row_ind[cs:ce])
+            assert ce - cs >= s1 - s0
+            assert row_ind[cs] == s0 and row_ind[cs + (s1 - s0) - 1] == s1 - 1
+
+        # chains (column-ordered)
+        self.chain_col_ptr = col_ptr.copy()
+        self.chain_row_span = row_ind.copy()
+        chain_col = np.repeat(np.arange(num_lumps, dtype=np.int64),
+                              col_ptr[1:] - col_ptr[:-1])
+        chain_sizes = span_size[row_ind] * lump_size[chain_col]
+        chain_data = np.empty(len(row_ind) + 1, dtype=np.int64)
+        chain_data[0] = 0
+        np.cumsum(chain_sizes, out=chain_data[1:])
+        self.chain_data = chain_data
+        # rows of the column consumed after each chain (reset per column)
+        rows_cum = np.cumsum(span_size[row_ind])
+        ex_cum = rows_cum - span_size[row_ind]  # exclusive cumsum
+        col_base = np.repeat(ex_cum[col_ptr[:-1]] if len(row_ind)
+                             else np.empty(0, np.int64),
+                             col_ptr[1:] - col_ptr[:-1])
+        self.chain_rows_till_end = rows_cum - col_base
+
+        # boards: runs of chains with the same row-lump, per column, with a
+        # terminating sentinel per column
+        board_row_lump = []
+        board_chain_col_ord = []
+        board_col_ptr = np.empty(num_lumps + 1, dtype=np.int64)
+        for l in range(num_lumps):
+            board_col_ptr[l] = len(board_row_lump)
+            cs, ce = col_ptr[l], col_ptr[l + 1]
+            rl = span_to_lump[row_ind[cs:ce]]
+            if ce > cs:
+                starts = np.concatenate(
+                    [[0], np.nonzero(rl[1:] != rl[:-1])[0] + 1])
+                board_row_lump.extend(rl[starts].tolist())
+                board_chain_col_ord.extend(starts.tolist())
+            board_row_lump.append(INVALID)
+            board_chain_col_ord.append(int(ce - cs))
+        board_col_ptr[num_lumps] = len(board_row_lump)
+        self.board_col_ptr = board_col_ptr
+        self.board_row_lump = np.array(board_row_lump, dtype=np.int64)
+        self.board_chain_col_ord = np.array(board_chain_col_ord, dtype=np.int64)
+
+        # row-ordered boards: for each row-lump, the (col-lump, ord-in-col)
+        # of every board in that row, sorted by column
+        b_rows = []
+        b_cols = []
+        b_ords = []
+        for l in range(num_lumps):
+            bs, be = board_col_ptr[l], board_col_ptr[l + 1] - 1
+            rls = self.board_row_lump[bs:be]
+            b_rows.append(rls)
+            b_cols.append(np.full(be - bs, l, dtype=np.int64))
+            b_ords.append(np.arange(be - bs, dtype=np.int64))
+        if b_rows:
+            b_rows = np.concatenate(b_rows)
+            b_cols = np.concatenate(b_cols)
+            b_ords = np.concatenate(b_ords)
+        else:
+            b_rows = b_cols = b_ords = np.empty(0, dtype=np.int64)
+        order_ = np.argsort(b_rows, kind="stable")
+        self.board_row_ptr = cum_sum_vec(np.bincount(b_rows, minlength=num_lumps))
+        self.board_col_lump = b_cols[order_]
+        self.board_col_ord = b_ords[order_]
+
+    # ------------------------------------------------------------------
+    @property
+    def num_spans(self) -> int:
+        return len(self.span_start) - 1
+
+    @property
+    def num_lumps(self) -> int:
+        return len(self.lump_start) - 1
+
+    @property
+    def order(self) -> int:
+        return int(self.span_start[-1])
+
+    @property
+    def data_size(self) -> int:
+        return int(self.chain_data[-1])
+
+    def span_vector_offset(self, span: int) -> int:
+        return int(self.span_start[span])
+
+    def span_matrix_offset(self, span: int) -> int:
+        lump = int(self.span_to_lump[span])
+        assert self.span_offset_in_lump[span] == 0
+        return int(self.chain_data[self.chain_col_ptr[lump]])
+
+    # ------------------------------------------------------------------
+    def densify(self, data, fill_upper_half: bool = False,
+                start_span_index: int = 0) -> np.ndarray:
+        """Expand flat factor data to a dense (numpy) matrix; lower half
+        filled, optionally mirrored. `start_span_index` (on a lump boundary)
+        selects the bottom-right corner."""
+        data = np.asarray(data)
+        assert data.shape == (self.data_size,)
+        assert self.span_offset_in_lump[start_span_index] == 0
+        start_lump = int(self.span_to_lump[start_span_index])
+        offset = int(self.span_start[start_span_index])
+        tot = self.order - offset
+        dense = np.zeros((tot, tot), dtype=data.dtype)
+        for a in range(start_lump, self.num_lumps):
+            l_begin = int(self.lump_start[a])
+            l_size = int(self.lump_start[a + 1]) - l_begin
+            for i in range(int(self.chain_col_ptr[a]),
+                           int(self.chain_col_ptr[a + 1])):
+                p = int(self.chain_row_span[i])
+                p_start = int(self.span_start[p])
+                p_size = int(self.span_start[p + 1]) - p_start
+                ptr = int(self.chain_data[i])
+                dense[p_start - offset:p_start - offset + p_size,
+                      l_begin - offset:l_begin - offset + l_size] = \
+                    data[ptr:ptr + p_size * l_size].reshape(p_size, l_size)
+        if fill_upper_half:
+            iu = np.triu_indices(tot, k=1)
+            dense[iu] = dense.T[iu]
+        return dense
+
+    def damp(self, data, alpha: float, beta: float):
+        """diag *= (1 + alpha); diag += beta. Works on numpy arrays
+        (in-place-style, returns new array for jnp compatibility)."""
+        idx = self.damp_indices()
+        if hasattr(data, "at"):  # jax array
+            return data.at[idx].mul(1.0 + alpha).at[idx].add(beta)
+        out = np.array(data)
+        out[idx] = out[idx] * (1.0 + alpha) + beta
+        return out
+
+    def damp_indices(self) -> np.ndarray:
+        """Flat-data indices of all diagonal elements of the matrix."""
+        parts = []
+        for a in range(self.num_lumps):
+            base = int(self.chain_data[self.chain_col_ptr[a]])
+            size = int(self.lump_start[a + 1] - self.lump_start[a])
+            parts.append(base + np.arange(size, dtype=np.int64) * (size + 1))
+        return (np.concatenate(parts) if parts
+                else np.empty(0, dtype=np.int64))

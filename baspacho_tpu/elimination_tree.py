@@ -1,0 +1,357 @@
+"""Elimination tree analysis: sparse-elim-range detection + supernode merge.
+
+Host-side planner with behavior parity with the reference EliminationTree
+(/root/reference/baspacho/baspacho/EliminationTree.{h,cpp}):
+
+1. Build the elimination tree of the (reordered) block pattern, with
+   per-node row statistics and linear cost accumulators.
+2. Detect "sparse elimination ranges": large sets of same-height small
+   nodes that are eliminated in one massively-parallel step (on TPU: one
+   batched kernel over all nodes of the range) while skipping node-merge
+   fill. Heuristic constants match the reference (max node size 12, min 50
+   nodes, skip when >1/3 of candidates merge easily).
+3. Greedy child->parent supernode merging on the remaining tree, accepting
+   a merge when the computation model predicts the merged node's potrf +
+   trsm + syge + assembly time beats the two separate nodes'. On TPU the
+   model is fitted so that merges are more aggressive (launch overhead
+   dominates small ops, and uniform large panels feed the MXU).
+
+Everything here is NumPy/Python on host, run once per sparsity pattern.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .computation_model import ComputationModel, model_tpu_v5e_default
+from .sparse_structure import SparseStructure
+from .utils import cum_sum_vec
+
+MAX_SPARSE_ELIM_NODE_SIZE = 12
+MIN_NUM_SPARSE_ELIM_NODES = 50
+
+
+class EliminationTree:
+    def __init__(self, param_size: Sequence[int], ss: SparseStructure,
+                 comp_model: Optional[ComputationModel] = None):
+        self.param_size = np.asarray(param_size, dtype=np.int64)
+        self.ss = ss
+        self.comp_model = comp_model or model_tpu_v5e_default
+        assert len(self.param_size) == ss.order
+
+    # ------------------------------------------------------------------
+    def build_tree(self) -> None:
+        ord_ = self.ss.order
+        cm = self.comp_model
+        parent = np.full(ord_, -1, dtype=np.int64)
+        tags = np.full(ord_, -1, dtype=np.int64)
+        node_rows = np.zeros(ord_, dtype=np.int64)
+        node_row_blocks = np.zeros(ord_, dtype=np.int64)
+        per_col_nodes: List[List[int]] = [[] for _ in range(ord_)]
+        psize = self.param_size
+        ptrs, inds = self.ss.ptrs, self.ss.inds
+
+        # etree with row-subtree walk: row k's pattern is every node on the
+        # etree path from each entry of A(k, :k) up to k
+        for k in range(ord_):
+            tags[k] = k
+            for i in inds[ptrs[k]:ptrs[k + 1]]:
+                i = int(i)
+                if i >= k:
+                    continue
+                while tags[i] != k:
+                    if parent[i] == -1:
+                        parent[i] = k
+                    tags[i] = k
+                    node_rows[i] += psize[k]
+                    node_row_blocks[i] += 1
+                    per_col_nodes[i].append(k)
+                    i = int(parent[i])
+
+        self.parent = parent
+        self.node_size = psize.copy()
+        self.node_rows = node_rows
+        self.node_row_blocks = node_row_blocks
+
+        # per-column: walk rows bottom-up accumulating the linear (in node
+        # width) syge/asmbl cost models, and record per-row stats used for
+        # incremental cost updates during merging
+        syge_costs = np.zeros((ord_, 2))
+        asmbl_costs = np.zeros((ord_, 2))
+        # per_row_stats[r] = list of [col, r_blocks, rows, r_blocks_down,
+        # rows_down], kept sorted by col
+        per_row_stats: List[List[list]] = [[] for _ in range(ord_)]
+        for col in range(ord_):
+            c = per_col_nodes[col]
+            c.append(col)
+            c.sort()
+            skipped_rows = 0
+            skipped_blocks = 0
+            syge_c = np.zeros(2)
+            asmbl_c = np.zeros(2)
+            for i in range(len(c) - 1, -1, -1):
+                row = c[i]
+                prs = int(psize[row])
+                syge_c += cm.syge_lin_est(skipped_rows + prs, prs)
+                asmbl_c += cm.asmbl_lin_est(skipped_blocks + 1)
+                per_row_stats[row].append(
+                    [col, 1, prs, skipped_blocks, skipped_rows])
+                skipped_rows += prs
+                skipped_blocks += 1
+            syge_costs[col] = syge_c
+            asmbl_costs[col] = asmbl_c
+        # entries were appended while scanning columns in increasing order,
+        # so each row's stats list is sorted by col already
+        self.per_col_nodes = per_col_nodes
+        self.per_row_stats = per_row_stats
+        self.syge_costs = syge_costs
+        self.asmbl_costs = asmbl_costs
+
+    # ------------------------------------------------------------------
+    def compute_node_heights(self, no_cross_points: Sequence[int]) -> None:
+        ord_ = self.ss.order
+        self.forbid_merge = np.zeros(ord_, dtype=bool)
+        height = np.zeros(ord_, dtype=np.int64)
+        # (height, size, node), sorted within each no-cross segment
+        unmerged: List[tuple] = [None] * ord_
+        bounds = [0, *list(no_cross_points), ord_]
+        for ri in range(len(bounds) - 1):
+            r0, r1 = bounds[ri], bounds[ri + 1]
+            for k in range(r0, r1):
+                unmerged[k] = (int(height[k]), int(self.node_size[k]), k)
+                par = int(self.parent[k])
+                if par == -1:
+                    continue
+                if par >= r1:
+                    self.forbid_merge[k] = True
+                height[par] = max(height[par], height[k] + 1)
+            unmerged[r0:r1] = sorted(unmerged[r0:r1])
+        self.unmerged_height_node = unmerged
+
+    # ------------------------------------------------------------------
+    def compute_sparse_elim_ranges(self, no_cross_points: Sequence[int]) -> None:
+        ord_ = self.ss.order
+        ranges = [0]
+        bounds = [0, *list(no_cross_points), ord_]
+        stop = False
+        for ri in range(len(bounds) - 1):
+            if stop:
+                break
+            r0, r1 = bounds[ri], bounds[ri + 1]
+            k0 = r0
+            while k0 < r1:
+                k1 = k0
+                merge_height = self.unmerged_height_node[k0][0]
+                num_easy_merge = 0
+                while (k1 < r1 and
+                       self.unmerged_height_node[k1][0] == merge_height and
+                       self.unmerged_height_node[k1][1] <= MAX_SPARSE_ELIM_NODE_SIZE):
+                    node = self.unmerged_height_node[k1][2]
+                    p = int(self.parent[node])
+                    if p >= 0:
+                        fill_after = self.node_rows[node] / (
+                            self.node_rows[p] + self.node_size[p])
+                        if fill_after > 0.8:
+                            num_easy_merge += 1
+                    k1 += 1
+                if (k1 - k0) < MIN_NUM_SPARSE_ELIM_NODES or \
+                        (k1 - k0) < num_easy_merge * 3:
+                    stop = True
+                    break
+                for k in range(k0, k1):
+                    self.forbid_merge[self.unmerged_height_node[k][2]] = True
+                ranges.append(k1)
+                k0 = k1
+        if len(ranges) == 1:
+            ranges.pop()
+        self.sparse_elim_ranges = ranges
+
+    # ------------------------------------------------------------------
+    def compute_merges(self) -> None:
+        ord_ = self.ss.order
+        cm = self.comp_model
+        self.num_merged_nodes = np.ones(ord_, dtype=np.int64)
+        self.merge_with = np.full(ord_, -1, dtype=np.int64)
+        self.num_merges = 0
+        node_rows, node_size = self.node_rows, self.node_size
+        node_row_blocks = self.node_row_blocks
+
+        def pick_score(k: int, p: int) -> float:
+            return node_rows[k] / (node_rows[p] + node_size[p])
+
+        # max-heap over (score, k, p) via negation
+        heap = []
+        for k in range(ord_ - 1, -1, -1):
+            if self.forbid_merge[k]:
+                continue
+            p = int(self.parent[k])
+            if p == -1:
+                continue
+            heap.append((-pick_score(k, p), -k, -p))
+        heapq.heapify(heap)
+
+        syge_costs, asmbl_costs = self.syge_costs, self.asmbl_costs
+        per_row_stats = self.per_row_stats
+        merge_with = self.merge_with
+        num_merged = self.num_merged_nodes
+
+        while heap:
+            ns, nk, np_ = heapq.heappop(heap)
+            k, p = -nk, -np_
+            old_p = p
+            while merge_with[p] != -1:
+                p = int(merge_with[p])
+            if old_p != p:  # stale: parent got merged, re-score
+                heapq.heappush(heap, (-pick_score(k, p), -k, -p))
+                continue
+
+            sk, rk = float(node_size[k]), float(node_rows[k])
+            sp, rp = float(node_size[p]), float(node_rows[p])
+            sm = sp + sk
+            t_k = (cm.potrf_est(sk) + cm.trsm_est(sk, rk) +
+                   syge_costs[k][0] + syge_costs[k][1] * sk +
+                   asmbl_costs[k][0] + asmbl_costs[k][1] * num_merged[k])
+            t_p = (cm.potrf_est(sp) + cm.trsm_est(sp, rp) +
+                   syge_costs[p][0] + syge_costs[p][1] * sp +
+                   asmbl_costs[p][0] + asmbl_costs[p][1] * num_merged[p])
+            t_m = (cm.potrf_est(sm) + cm.trsm_est(sm, rp) +
+                   syge_costs[p][0] + syge_costs[p][1] * sm +
+                   asmbl_costs[p][0] +
+                   asmbl_costs[p][1] * (num_merged[k] + num_merged[p]))
+            if not (t_m < t_k + t_p):
+                continue
+
+            prev_size_p = int(node_size[p])
+            prev_merged_p = int(num_merged[p])
+            merge_with[k] = p
+            node_size[p] += node_size[k]
+            num_merged[p] += num_merged[k]
+            self.num_merges += 1
+
+            # merge row-stat lists of k and p; where both appear in the same
+            # column, the two row-blocks become one taller block — update
+            # that column's syge/asmbl accumulated costs incrementally
+            k_rd, p_rd = per_row_stats[k], per_row_stats[p]
+            merged: List[list] = []
+            ik = ip = 0
+            while ik < len(k_rd) or ip < len(p_rd):
+                if ip >= len(p_rd) or (ik < len(k_rd) and
+                                       k_rd[ik][0] < p_rd[ip][0]):
+                    if k_rd[ik][0] != k:
+                        merged.append(k_rd[ik])
+                    ik += 1
+                elif ik >= len(k_rd) or k_rd[ik][0] > p_rd[ip][0]:
+                    if p_rd[ip][0] != p:
+                        merged.append(p_rd[ip])
+                    ip += 1
+                else:
+                    c, kb, kr, _, _ = k_rd[ik]
+                    _, pb, pr, pbd, prd = p_rd[ip]
+                    syge_costs[c] -= cm.syge_lin_est(k_rd[ik][4] + kr, kr)
+                    asmbl_costs[c] -= cm.asmbl_lin_est(k_rd[ik][3] + kb)
+                    syge_costs[c] -= cm.syge_lin_est(prd + pr, pr)
+                    asmbl_costs[c] -= cm.asmbl_lin_est(pbd + pb)
+                    syge_costs[c] += cm.syge_lin_est(prd + kr + pr, kr + pr)
+                    asmbl_costs[c] += cm.asmbl_lin_est(pbd + kb + pb)
+                    merged.append([c, kb + pb, kr + pr, pbd, prd])
+                    ik += 1
+                    ip += 1
+            syge_costs[p] -= cm.syge_lin_est(node_rows[p] + prev_size_p,
+                                             prev_size_p)
+            asmbl_costs[p] -= cm.asmbl_lin_est(node_row_blocks[p] + prev_merged_p)
+            syge_costs[p] += cm.syge_lin_est(node_rows[p] + node_size[p],
+                                             node_size[p])
+            asmbl_costs[p] += cm.asmbl_lin_est(node_row_blocks[p] + num_merged[p])
+            merged.append([p, int(num_merged[p]), int(node_size[p]),
+                           int(node_row_blocks[p]), int(node_rows[p])])
+            per_row_stats[p] = merged
+
+    # ------------------------------------------------------------------
+    def collapse_merge_pointers(self) -> None:
+        mw = self.merge_with
+        for k in range(len(mw) - 1, -1, -1):
+            p = mw[k]
+            if p != -1 and mw[p] != -1:
+                mw[k] = mw[p]
+
+    # ------------------------------------------------------------------
+    def process_tree(self, detect_sparse_elim_ranges: bool,
+                     no_cross_points: Sequence[int] = (),
+                     find_only_elims: bool = False) -> None:
+        ord_ = self.ss.order
+        self.compute_node_heights(no_cross_points)
+        if detect_sparse_elim_ranges:
+            self.compute_sparse_elim_ranges(no_cross_points)
+        else:
+            self.sparse_elim_ranges = []
+        if find_only_elims:
+            self.merge_with = np.full(ord_, -1, dtype=np.int64)
+            self.num_merged_nodes = np.ones(ord_, dtype=np.int64)
+            self.num_merges = 0
+        else:
+            self.compute_merges()
+            self.collapse_merge_pointers()
+
+        num_lumps = ord_ - self.num_merges
+        lump_sizes = np.zeros(num_lumps, dtype=np.int64)
+        lump_span_counts = np.zeros(num_lumps, dtype=np.int64)
+        root_to_lump = np.full(ord_, -1, dtype=np.int64)
+        lump_index = 0
+        for i in range(ord_):
+            k = self.unmerged_height_node[i][2]
+            if self.merge_with[k] != -1:
+                continue
+            root_to_lump[k] = lump_index
+            lump_sizes[lump_index] = self.node_size[k]
+            lump_span_counts[lump_index] = self.num_merged_nodes[k]
+            lump_index += 1
+        assert lump_index == num_lumps
+        self.lump_start = cum_sum_vec(lump_sizes)
+        lump_to_span = cum_sum_vec(lump_span_counts)
+
+        # span position: nodes of a lump are laid out in node-index order
+        perm_inverse = np.empty(ord_, dtype=np.int64)
+        cursor = lump_to_span[:-1].copy()
+        for i in range(ord_):
+            p = self.merge_with[i]
+            li = root_to_lump[i if p == -1 else p]
+            perm_inverse[i] = cursor[li]
+            cursor[li] += 1
+        self.perm_inverse = perm_inverse
+        self.lump_to_span = lump_to_span
+
+    # ------------------------------------------------------------------
+    def compute_aggregate_struct(self, fill_only_for_elims: bool = False) -> None:
+        ord_ = self.ss.order
+        num_lumps = len(self.lump_start) - 1
+        tperm = self.ss.symmetric_permutation(self.perm_inverse,
+                                              lower_half=True,
+                                              sort_indices=False)
+        if fill_only_for_elims:
+            for e in range(len(self.sparse_elim_ranges) - 1):
+                tperm = tperm.add_independent_elimination_fill(
+                    self.sparse_elim_ranges[e], self.sparse_elim_ranges[e + 1])
+        else:
+            tperm = tperm.add_full_elimination_fill()
+        tperm = tperm.transpose()  # columns: rows >= col per block-column
+
+        # merge columns of each lump: union of row ids, deduped and sorted
+        col_counts = np.zeros(num_lumps, dtype=np.int64)
+        row_param_parts = []
+        for a in range(num_lumps):
+            s0, s1 = self.lump_to_span[a], self.lump_to_span[a + 1]
+            rows = np.unique(tperm.inds[tperm.ptrs[s0]:tperm.ptrs[s1]])
+            col_counts[a] = len(rows)
+            row_param_parts.append(rows)
+        self.col_start = cum_sum_vec(col_counts)
+        self.row_param = (np.concatenate(row_param_parts)
+                          if row_param_parts else np.empty(0, dtype=np.int64))
+
+    # ------------------------------------------------------------------
+    def compute_span_start(self) -> np.ndarray:
+        out = np.zeros(len(self.param_size), dtype=np.int64)
+        out[self.perm_inverse] = self.param_size
+        return cum_sum_vec(out)

@@ -1,0 +1,211 @@
+"""Numeric plans: static index descriptors extracted from the skeleton.
+
+The symbolic/numeric split of the reference (SymbolicCtx precomputing index
+maps once, NumericCtx replaying them per factor call) becomes, on TPU:
+everything data-dependent is precomputed **here** as NumPy arrays, then
+baked into jitted functions as constants. No host<->device index traffic
+ever happens at numeric time — this also fixes the reference's per-lump
+`prepareAssemble` host-loop FIXME (MatOpsCuda.cu:474).
+
+Descriptors:
+  * LumpDesc — one supernode column: where its (rows x cols) panel lives in
+    the flat data vector, plus scatter indices for the below-diagonal rows'
+    positions in a RHS vector.
+  * BoardDesc — one pending update of a later column by an earlier one:
+    gather offsets of the source sub/full panels and a precomputed
+    (R_full x R_sub) flat-index scatter matrix into the data vector.
+
+The plan lists lumps in elimination order; `lump_levels` additionally
+level-schedules the elimination tree (lumps whose columns don't depend on
+each other share a level) — the planned backend batches all same-shape
+lumps of a level into single XLA ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..block_matrix import CoalescedBlockMatrixSkel
+
+
+@dataclass
+class BoardDesc:
+    target_lump: int
+    origin_lump: int
+    src_offset: int      # flat-data offset of the board's first chain
+    full_rows: int       # rows from board start to end of origin column
+    sub_rows: int        # rows of the board itself (into target lump)
+    width: int           # origin lump size (k of the gemm)
+    scatter_idx: np.ndarray  # (full_rows, sub_rows) flat indices into data
+
+
+@dataclass
+class LumpDesc:
+    index: int
+    col_offset: int      # flat-data offset of column panel
+    total_rows: int      # diag + below-diag rows
+    size: int            # lump width (= diag rows)
+    vec_offset: int      # position of lump in a RHS vector
+    below_row_idx: np.ndarray  # (total_rows - size,) RHS positions of below rows
+    boards: List[BoardDesc] = field(default_factory=list)
+
+
+@dataclass
+class SpanDesc:
+    """Per-span info for pseudo-factor / sparse per-span ops."""
+    span: int
+    diag_offset: int
+    stride: int
+    size: int
+    # chains strictly below this span within its own lump-column, restricted
+    # to this span's columns: flat offsets + row counts
+    below_offset: int
+    below_rows: int
+
+
+@dataclass
+class NumericPlan:
+    skel: CoalescedBlockMatrixSkel
+    sparse_elim_ranges: List[int]
+    lumps: List[LumpDesc]
+    spans: List[SpanDesc]
+    lump_levels: np.ndarray  # (num_lumps,) level-schedule depth of each lump
+
+
+def build_plan(skel: CoalescedBlockMatrixSkel,
+               sparse_elim_ranges) -> NumericPlan:
+    sk = skel
+    num_lumps = sk.num_lumps
+    span_start = sk.span_start
+    span_size = span_start[1:] - span_start[:-1]
+    lump_size_arr = sk.lump_start[1:] - sk.lump_start[:-1]
+
+    lumps: List[LumpDesc] = []
+    for l in range(num_lumps):
+        cs, ce = int(sk.chain_col_ptr[l]), int(sk.chain_col_ptr[l + 1])
+        c = int(lump_size_arr[l])
+        total_rows = int(sk.chain_rows_till_end[ce - 1]) if ce > cs else 0
+        col_offset = int(sk.chain_data[cs])
+        # number of chains making up the diagonal block
+        s0, s1 = int(sk.lump_to_span[l]), int(sk.lump_to_span[l + 1])
+        n_diag_chains = s1 - s0
+        below_spans = sk.chain_row_span[cs + n_diag_chains:ce]
+        if len(below_spans):
+            below_row_idx = np.concatenate([
+                np.arange(span_start[s], span_start[s + 1], dtype=np.int64)
+                for s in below_spans])
+        else:
+            below_row_idx = np.empty(0, dtype=np.int64)
+        lumps.append(LumpDesc(
+            index=l, col_offset=col_offset, total_rows=total_rows, size=c,
+            vec_offset=int(sk.lump_start[l]), below_row_idx=below_row_idx))
+
+    # boards: for each target lump l, updates from earlier columns
+    for l in range(num_lumps):
+        for r_ptr in range(int(sk.board_row_ptr[l]),
+                           int(sk.board_row_ptr[l + 1])):
+            o = int(sk.board_col_lump[r_ptr])
+            if o >= l:
+                continue  # diagonal board of the column itself
+            board_ord = int(sk.board_col_ord[r_ptr])
+            lumps[l].boards.append(_build_board(sk, span_start, span_size,
+                                                l, o, board_ord))
+
+    # per-span descriptors (for pseudo-factor)
+    spans: List[SpanDesc] = []
+    for s in range(sk.num_spans):
+        l = int(sk.span_to_lump[s])
+        c = int(lump_size_arr[l])
+        cs, ce = int(sk.chain_col_ptr[l]), int(sk.chain_col_ptr[l + 1])
+        base = int(sk.chain_data[cs])
+        off_in_lump = int(sk.span_offset_in_lump[s])
+        diag_offset = base + off_in_lump * (1 + c)
+        # rows strictly below this span in the column (other spans' chains
+        # come after the diag spans; within the diag, spans after s)
+        sz = int(span_size[s])
+        # row index (within column panel) where span s's diag block starts
+        row_of_span = off_in_lump
+        total_rows = int(sk.chain_rows_till_end[ce - 1])
+        below_rows = total_rows - row_of_span - sz
+        below_offset = base + (row_of_span + sz) * c + off_in_lump
+        spans.append(SpanDesc(span=s, diag_offset=diag_offset, stride=c,
+                              size=sz, below_offset=below_offset,
+                              below_rows=below_rows))
+
+    # level schedule: level(l) = 1 + max(level(origin) for boards) so that
+    # lumps in the same level have no factor-order dependencies
+    levels = np.zeros(num_lumps, dtype=np.int64)
+    for l in range(num_lumps):
+        dep = 0
+        for b in lumps[l].boards:
+            dep = max(dep, levels[b.origin_lump] + 1)
+        # also depends on earlier lumps that share... boards capture all
+        # numeric deps: column l is updated only through its boards
+        levels[l] = dep
+
+    return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
+                       lumps=lumps, spans=spans, lump_levels=levels)
+
+
+def _build_board(sk: CoalescedBlockMatrixSkel, span_start, span_size,
+                 target: int, origin: int, board_ord: int) -> BoardDesc:
+    cs = int(sk.chain_col_ptr[origin])
+    bs = int(sk.board_col_ptr[origin])
+    be = int(sk.board_col_ptr[origin + 1])
+    chain0 = int(sk.board_chain_col_ord[bs + board_ord])      # board start
+    chain1 = int(sk.board_chain_col_ord[bs + board_ord + 1])  # board end
+    chain_end = int(sk.board_chain_col_ord[be - 1])           # column end
+    width = int(sk.lump_start[origin + 1] - sk.lump_start[origin])
+
+    rect_row_begin = int(sk.chain_rows_till_end[cs + chain0 - 1]) \
+        if chain0 > 0 else 0
+    sub_rows = int(sk.chain_rows_till_end[cs + chain1 - 1]) - rect_row_begin
+    full_rows = int(sk.chain_rows_till_end[cs + chain_end - 1]) - rect_row_begin
+    src_offset = int(sk.chain_data[cs + chain0])
+
+    # scatter indices: product rows = origin-column spans chain0..chain_end,
+    # product cols = origin-column spans chain0..chain1 (spans of target lump)
+    tgt_cs = int(sk.chain_col_ptr[target])
+    tgt_ce = int(sk.chain_col_ptr[target + 1])
+    tgt_c = int(sk.lump_start[target + 1] - sk.lump_start[target])
+    tgt_spans = sk.chain_row_span[tgt_cs:tgt_ce]
+
+    col_spans = sk.chain_row_span[cs + chain0:cs + chain1]
+    row_spans = sk.chain_row_span[cs + chain0:cs + chain_end]
+
+    # per product block-col: offset of span's columns inside target panel
+    col_offsets = sk.span_offset_in_lump[col_spans]
+    col_sizes = span_size[col_spans]
+    # per product block-row: flat offset of that span's chain in target col
+    pos = tgt_cs + np.searchsorted(tgt_spans, row_spans)
+    assert np.all(sk.chain_row_span[pos] == row_spans), \
+        "missing fill chain in target column"
+    row_data = sk.chain_data[pos]
+    row_sizes = span_size[row_spans]
+
+    # upper-triangle block pairs (bi < bj) are not stored in the factor:
+    # redirect them to the sacrificial trash slot at index data_size (the
+    # numeric functions pad the data vector by one element)
+    trash = sk.data_size
+    scatter = np.full((full_rows, sub_rows), trash, dtype=np.int64)
+    r0 = 0
+    for bi in range(len(row_spans)):
+        rs = int(row_sizes[bi])
+        base = int(row_data[bi])
+        c0 = 0
+        for bj in range(min(bi + 1, len(col_spans))):
+            csz = int(col_sizes[bj])
+            coff = int(col_offsets[bj])
+            scatter[r0:r0 + rs, c0:c0 + csz] = (
+                base + coff +
+                np.arange(rs, dtype=np.int64)[:, None] * tgt_c +
+                np.arange(csz, dtype=np.int64)[None, :])
+            c0 += csz
+        r0 += rs
+
+    return BoardDesc(target_lump=target, origin_lump=origin,
+                     src_offset=src_offset, full_rows=full_rows,
+                     sub_rows=sub_rows, width=width, scatter_idx=scatter)

@@ -1,0 +1,339 @@
+"""Solver: symbolic plan + jitted numeric operations.
+
+Counterpart of the reference Solver/createSolver
+(/root/reference/baspacho/baspacho/Solver.{h,cpp}) with a functional,
+JAX-idiomatic API: numeric ops take and return arrays (no in-place
+mutation), batching is a leading axis handled transparently, and every
+(op, range) pair compiles once to a shape-static XLA program that is
+reused across solver iterations.
+
+createSolver pipeline (same analysis structure as reference :611-752):
+  1. apply given sparse-elim-range fill,
+  2. AMD-reorder the remaining bottom-right corner,
+  3. elimination tree: auto-detect further elim ranges, merge supernodes
+     under the (TPU-fitted) computation model,
+  4. compose permutations, build the coalesced factor skeleton.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .accessor import CoalescedAccessor, PermutedCoalescedAccessor
+from .block_matrix import CoalescedBlockMatrixSkel
+from .computation_model import ComputationModel
+from .elimination_tree import EliminationTree
+from .ops.plan import build_plan
+from .ops.ref_backend import UnrolledBackend
+from .sparse_structure import SparseStructure
+from .utils import (compose_permutations, cum_sum_vec, inverse_permutation,
+                    is_strictly_increasing)
+
+
+class BackendType(enum.Enum):
+    REF = "ref"          # unrolled jitted ops, one op per lump/board
+    PLANNED = "planned"  # level-scheduled bucketed batched ops (TPU fast path)
+
+
+class AddFillPolicy(enum.Enum):
+    COMPLETE = 0         # fill for complete factoring, reorder
+    FOR_AUTO_ELIMS = 1   # fill for given+auto elim ranges, reorder
+    FOR_GIVEN_ELIMS = 2  # fill for given elim ranges only, no reorder
+    NONE = 3             # no fill, no reorder
+
+
+@dataclass
+class Settings:
+    find_sparse_elimination_ranges: bool = True
+    backend: BackendType = BackendType.REF
+    add_fill_policy: AddFillPolicy = AddFillPolicy.COMPLETE
+    computation_model: Optional[ComputationModel] = None
+
+
+class Solver:
+    def __init__(self, skel: CoalescedBlockMatrixSkel,
+                 sparse_elim_ranges: Sequence[int],
+                 permutation: np.ndarray,
+                 backend: BackendType = BackendType.REF,
+                 can_factor_up_to: int = -1):
+        self.skel = skel
+        self.sparse_elim_ranges = list(sparse_elim_ranges)
+        self.permutation = np.asarray(permutation, dtype=np.int64)
+        self.can_factor_up_to = (skel.num_spans if can_factor_up_to < 0
+                                 else can_factor_up_to)
+        self.plan = build_plan(skel, self.sparse_elim_ranges)
+        self.backend_type = backend
+        if backend == BackendType.PLANNED:
+            from .ops.planned_backend import PlannedBackend
+            self.backend = PlannedBackend(self.plan)
+        else:
+            self.backend = UnrolledBackend(self.plan)
+        self._fns = {}
+
+    # -- introspection --------------------------------------------------
+    @property
+    def order(self) -> int:
+        return self.skel.order
+
+    @property
+    def data_size(self) -> int:
+        return self.skel.data_size
+
+    def span_vector_offset(self, span: int) -> int:
+        return self.skel.span_vector_offset(span)
+
+    def span_matrix_offset(self, span: int) -> int:
+        return self.skel.span_matrix_offset(span)
+
+    def accessor(self) -> PermutedCoalescedAccessor:
+        return PermutedCoalescedAccessor(self.skel, self.permutation)
+
+    def internal_accessor(self) -> CoalescedAccessor:
+        return CoalescedAccessor(self.skel)
+
+    def param_to_span(self) -> np.ndarray:
+        return self.permutation
+
+    # -- internals ------------------------------------------------------
+    def _lump_of_span(self, span_index: int) -> int:
+        assert 0 <= span_index <= self.skel.num_spans
+        assert self.skel.span_offset_in_lump[span_index] == 0
+        return int(self.skel.span_to_lump[span_index])
+
+    def _get(self, key, builder):
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._fns[key] = fn
+        return fn
+
+    def _batched(self, key, builder, in_axes):
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(jax.vmap(builder(), in_axes=in_axes))
+            self._fns[key] = fn
+        return fn
+
+    def _run_factor_like(self, op: str, make, data, start_l: int, end_l: int):
+        data = jnp.asarray(data)
+        if data.ndim == 1:
+            fn = self._get((op, start_l, end_l, 1),
+                           lambda: make(start_l, end_l))
+            return fn(data)
+        assert data.ndim == 2, "data must be (dataSize,) or (batch, dataSize)"
+        fn = self._batched((op, start_l, end_l, 2),
+                           lambda: make(start_l, end_l), (0,))
+        return fn(data)
+
+    def _run_solve_like(self, op: str, make, data, v, start_l: int,
+                        end_l: int):
+        data = jnp.asarray(data)
+        v = jnp.asarray(v)
+        batched = data.ndim == 2
+        vec1d = v.ndim == (2 if batched else 1)
+        if vec1d:
+            v = v[..., None]
+        if not batched:
+            fn = self._get((op, start_l, end_l, 1),
+                           lambda: make(start_l, end_l))
+            out = fn(data, v)
+        else:
+            fn = self._batched((op, start_l, end_l, 2),
+                               lambda: make(start_l, end_l), (0, 0))
+            out = fn(data, v)
+        return out[..., 0] if vec1d else out
+
+    # -- factor ---------------------------------------------------------
+    def factor(self, data):
+        return self.factor_up_to(data, self.skel.num_spans)
+
+    def factor_up_to(self, data, span_index: int):
+        assert span_index <= self.can_factor_up_to
+        return self._run_factor_like(
+            "factor", self.backend.make_factor, data,
+            0, self._lump_of_span(span_index))
+
+    def factor_from(self, data, span_index: int):
+        return self._run_factor_like(
+            "factor", self.backend.make_factor, data,
+            self._lump_of_span(span_index), self.skel.num_lumps)
+
+    # -- solve ----------------------------------------------------------
+    def solve(self, mat_data, rhs):
+        n = self.skel.num_lumps
+        rhs = self._run_solve_like("solveL", self.backend.make_solve_l,
+                                   mat_data, rhs, 0, n)
+        return self._run_solve_like("solveLt", self.backend.make_solve_lt,
+                                    mat_data, rhs, 0, n)
+
+    def solve_l(self, mat_data, rhs):
+        return self.solve_l_up_to(mat_data, self.skel.num_spans, rhs)
+
+    def solve_lt(self, mat_data, rhs):
+        return self.solve_lt_up_to(mat_data, self.skel.num_spans, rhs)
+
+    def solve_l_up_to(self, mat_data, span_index: int, rhs):
+        return self._run_solve_like("solveL", self.backend.make_solve_l,
+                                    mat_data, rhs, 0,
+                                    self._lump_of_span(span_index))
+
+    def solve_lt_up_to(self, mat_data, span_index: int, rhs):
+        return self._run_solve_like("solveLt", self.backend.make_solve_lt,
+                                    mat_data, rhs, 0,
+                                    self._lump_of_span(span_index))
+
+    def solve_l_from(self, mat_data, span_index: int, rhs):
+        return self._run_solve_like("solveL", self.backend.make_solve_l,
+                                    mat_data, rhs,
+                                    self._lump_of_span(span_index),
+                                    self.skel.num_lumps)
+
+    def solve_lt_from(self, mat_data, span_index: int, rhs):
+        return self._run_solve_like("solveLt", self.backend.make_solve_lt,
+                                    mat_data, rhs,
+                                    self._lump_of_span(span_index),
+                                    self.skel.num_lumps)
+
+    # -- matvec / pseudo-factor -----------------------------------------
+    def add_mv_from(self, mat_data, span_index: int, x, out, alpha=1.0):
+        """out += alpha * M x on the bottom-right corner from span_index."""
+        start_l = self._lump_of_span(span_index)
+        mat_data = jnp.asarray(mat_data)
+        x = jnp.asarray(x)
+        out = jnp.asarray(out)
+        batched = mat_data.ndim == 2
+        vec1d = x.ndim == (2 if batched else 1)
+        if vec1d:
+            x, out = x[..., None], out[..., None]
+        alpha = jnp.asarray(alpha, mat_data.dtype)
+        if not batched:
+            fn = self._get(("addMv", start_l, 1),
+                           lambda: self.backend.make_add_mv(start_l))
+            res = fn(mat_data, x, out, alpha)
+        else:
+            fn = self._batched(("addMv", start_l, 2),
+                               lambda: self.backend.make_add_mv(start_l),
+                               (0, 0, 0, None))
+            res = fn(mat_data, x, out, alpha)
+        return res[..., 0] if vec1d else res
+
+    def pseudo_factor_from(self, data, span_index: int):
+        data = jnp.asarray(data)
+        n = self.skel.num_spans
+        if data.ndim == 1:
+            fn = self._get(("pseudo", span_index, 1),
+                           lambda: self.backend.make_pseudo_factor(
+                               span_index, n))
+            return fn(data)
+        fn = self._batched(("pseudo", span_index, 2),
+                           lambda: self.backend.make_pseudo_factor(
+                               span_index, n), (0,))
+        return fn(data)
+
+
+def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
+                  sparse_elim_ranges: Sequence[int] = (),
+                  elim_last_ids: Sequence[int] = ()) -> Solver:
+    param_sizes = np.asarray(param_sizes, dtype=np.int64)
+    sparse_elim_ranges = list(sparse_elim_ranges)
+    elim_last = set(int(i) for i in elim_last_ids)
+    assert settings.add_fill_policy == AddFillPolicy.COMPLETE or not elim_last
+    assert len(sparse_elim_ranges) != 1
+    given_elim_end = sparse_elim_ranges[-1] if sparse_elim_ranges else 0
+    if sparse_elim_ranges:
+        assert is_strictly_increasing(sparse_elim_ranges)
+        for i in elim_last:
+            assert i >= given_elim_end
+
+    if settings.add_fill_policy != AddFillPolicy.NONE:
+        for e in range(len(sparse_elim_ranges) - 1):
+            ss = ss.add_independent_elimination_fill(
+                sparse_elim_ranges[e], sparse_elim_ranges[e + 1])
+
+    if settings.add_fill_policy in (AddFillPolicy.NONE,
+                                    AddFillPolicy.FOR_GIVEN_ELIMS):
+        n = len(param_sizes)
+        span_start = cum_sum_vec(param_sizes)
+        lump_to_span = np.arange(n + 1, dtype=np.int64)
+        permutation = np.arange(n, dtype=np.int64)
+        sst = ss.transpose()  # CSC columns of the lower half
+        skel = CoalescedBlockMatrixSkel(span_start, lump_to_span,
+                                        sst.ptrs, sst.inds)
+        cfut = 0 if settings.add_fill_policy == AddFillPolicy.NONE \
+            else given_elim_end
+        return Solver(skel, sparse_elim_ranges, permutation,
+                      settings.backend, cfut)
+
+    ss_bottom = ss.extract_right_bottom(given_elim_end)
+    perm = ss_bottom.fill_reducing_permutation()
+    no_cross_points = []
+    if elim_last:
+        parts = ([], [])
+        for p in perm:
+            parts[int((p + given_elim_end) in elim_last)].append(int(p))
+        no_cross_points.append(len(parts[0]))
+        perm = np.array(parts[0] + parts[1], dtype=np.int64)
+    inv_perm = inverse_permutation(perm)
+    sorted_ss_bottom = ss_bottom.symmetric_permutation(inv_perm,
+                                                      lower_half=True)
+    sorted_bottom_param_size = np.empty(len(param_sizes) - given_elim_end,
+                                        dtype=np.int64)
+    sorted_bottom_param_size[inv_perm] = param_sizes[given_elim_end:]
+
+    comp_model = settings.computation_model
+    et = EliminationTree(sorted_bottom_param_size, sorted_ss_bottom,
+                         comp_model)
+    et.build_tree()
+    et.process_tree(settings.find_sparse_elimination_ranges, no_cross_points,
+                    settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
+    et.compute_aggregate_struct(
+        settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
+
+    et_total_inv_perm = compose_permutations(et.perm_inverse, inv_perm)
+    full_inv_perm = np.concatenate([
+        np.arange(given_elim_end, dtype=np.int64),
+        given_elim_end + et_total_inv_perm])
+
+    full_span_start = np.zeros(len(param_sizes), dtype=np.int64)
+    full_span_start[full_inv_perm] = param_sizes
+    full_span_start = cum_sum_vec(full_span_start)
+
+    full_lump_to_span = np.concatenate([
+        np.arange(given_elim_end, dtype=np.int64),
+        given_elim_end + et.lump_to_span])
+    assert len(full_span_start) - 1 == full_lump_to_span[-1]
+
+    sorted_sst = ss.symmetric_permutation(full_inv_perm,
+                                          lower_half=True).transpose()
+    elim_end_data_ptr = int(sorted_sst.ptrs[given_elim_end])
+    full_col_start = np.concatenate([
+        sorted_sst.ptrs[:given_elim_end],
+        elim_end_data_ptr + et.col_start])
+    full_row_param = np.concatenate([
+        sorted_sst.inds[:elim_end_data_ptr],
+        given_elim_end + et.row_param])
+    assert len(full_col_start) == len(full_lump_to_span)
+    assert len(full_row_param) == full_col_start[-1]
+
+    skel = CoalescedBlockMatrixSkel(full_span_start, full_lump_to_span,
+                                    full_col_start, full_row_param)
+
+    full_ranges = list(sparse_elim_ranges)
+    if et.sparse_elim_ranges:
+        skip = 1 if sparse_elim_ranges else 0
+        full_ranges += [given_elim_end + r
+                        for r in et.sparse_elim_ranges[skip:]]
+    if len(full_ranges) == 1:
+        full_ranges = []
+    full_elim_end = full_ranges[-1] if full_ranges else 0
+
+    cfut = (full_elim_end
+            if settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS
+            else len(param_sizes))
+    return Solver(skel, full_ranges, full_inv_perm, settings.backend, cfut)

@@ -37,6 +37,11 @@ def _csr_from_pairs(rows: np.ndarray, cols: np.ndarray, order: int,
             key.sort(kind="stable")
         rows = key // order
         cols = key % order
+    else:
+        # group by row (stable: preserves within-row entry order)
+        order_idx = np.argsort(rows, kind="stable")
+        rows = rows[order_idx]
+        cols = cols[order_idx]
     counts = np.bincount(rows, minlength=order)
     ptrs = cum_sum_vec(counts)
     return SparseStructure(ptrs, cols)
