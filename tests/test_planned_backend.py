@@ -1,0 +1,78 @@
+"""Planned (level-scheduled bucketed) backend parity tests: same oracles
+as the ref-backend suites, mirroring how the reference validates its fast
+backends (CudaFactorTest/CudaSolveTest reuse the FactorTest oracles)."""
+
+import numpy as np
+import pytest
+
+from baspacho_tpu import BackendType, Settings, create_solver
+from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+
+def build(seed, n=30, fill=0.08, schur=0, elim_ranges=(), psize=(1, 4)):
+    gen = SparseMatGenerator.gen_flat(n, fill, seed=seed)
+    if schur:
+        gen.add_schur_set(schur, 0.12)
+    ss = gen.to_structure()
+    rng = np.random.RandomState(seed)
+    param_sizes = rng.randint(psize[0], psize[1], size=ss.order)
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           param_sizes, ss,
+                           sparse_elim_ranges=list(elim_ranges))
+    data = random_spd_data(solver.data_size, solver.order, seed + 77)
+    data = solver.skel.damp(data, 0.0, solver.order * 1.5)
+    return solver, np.asarray(data)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_planned_factor_solve(seed):
+    solver, data = build(seed)
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    l_oracle = np.linalg.cholesky(dense)
+    f = np.asarray(solver.factor(data))
+    assert np.max(np.abs(np.tril(solver.skel.densify(f)) - l_oracle)) < 1e-9
+
+    rng = np.random.RandomState(seed)
+    rhs = rng.rand(solver.order, 3)
+    got = np.asarray(solver.solve(f, rhs))
+    want = np.linalg.solve(l_oracle.T, np.linalg.solve(l_oracle, rhs))
+    assert np.max(np.abs(got - want)) < 1e-8
+
+
+def test_planned_factor_with_elim_range():
+    solver, data = build(0, n=15, fill=0.2, schur=60, elim_ranges=[0, 60])
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    l_oracle = np.linalg.cholesky(dense)
+    f = np.asarray(solver.factor(data))
+    assert np.max(np.abs(np.tril(solver.skel.densify(f)) - l_oracle)) < 1e-9
+
+
+def test_planned_partial_and_addmv():
+    solver, data = build(1, n=40, fill=0.05)
+    nl = solver.skel.num_lumps
+    assert nl >= 2
+    t = int(solver.skel.lump_to_span[max(1, nl // 2)])
+    o = solver.span_vector_offset(t)
+    full = np.asarray(solver.factor(data))
+    part = np.asarray(
+        solver.factor_from(np.asarray(solver.factor_up_to(data, t)), t))
+    assert np.max(np.abs(full - part)) < 1e-9
+
+    m = solver.skel.densify(data, fill_upper_half=True)
+    rng = np.random.RandomState(3)
+    x = rng.rand(solver.order, 2)
+    out = rng.rand(solver.order, 2)
+    got = np.asarray(solver.add_mv_from(data, t, x, out, 0.5))
+    want = out.copy()
+    want[o:] += 0.5 * (m[o:, o:] @ x[o:])
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
+def test_planned_batched_matches_single():
+    solver, data = build(2, n=20, fill=0.15)
+    batch = 3
+    datas = np.stack([data * (1.0 + 0.01 * b) for b in range(batch)])
+    single = [np.asarray(solver.factor(datas[b])) for b in range(batch)]
+    batched = np.asarray(solver.factor(datas))
+    for b in range(batch):
+        assert np.max(np.abs(batched[b] - single[b])) < 1e-10
