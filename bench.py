@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark driver for baspacho_tpu.
+
+Default run mirrors the reference's headline synthetic benchmark
+(BENCHMARK_RESULTS.md FLAT size=1000 fill=0.1 bsize=3, factor op): builds
+the problem, runs symbolic analysis once, then times jitted factor+solve
+on the available device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": R}
+where vs_baseline = our_time / reference_CUDA_backend_time on the same
+problem family (RTX-5000 numbers from the reference's shipped results;
+< 1.0 means faster than the reference's fastest backend). Additional
+detail lines go to stderr.
+
+Usage:
+  python bench.py                 # default: flat1000 factor
+  python bench.py --problem flat1000|flat_schur|grid|batch
+  python bench.py --dtype f32|bf16
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_op(fn, n=10, warmup=2):
+    for _ in range(warmup):
+        res = fn()
+    _force(res)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _force(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _force(res):
+    import jax.numpy as jnp
+    # a scalar readback defeats async dispatch even on tunneled platforms
+    float(jnp.sum(res if not isinstance(res, tuple) else res[0]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="flat1000",
+                    choices=["flat1000", "flat_schur", "grid", "batch"])
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from baspacho_tpu import BackendType, Settings, create_solver
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    dtype = np.float32 if args.dtype == "f32" else np.float64
+    log(f"devices: {jax.devices()}")
+
+    # reference times (seconds) for the same problem family: CUDA backend
+    # on RTX 5000 (see BASELINE.md); used for the vs_baseline ratio
+    if args.problem == "flat1000":
+        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
+        elim = []
+        psize = np.full(1000, 3)
+        ref_cuda_s = 0.053
+        metric = "flat1000_factor_solve_ms"
+    elif args.problem == "flat_schur":
+        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
+        gen.add_schur_set(5000, 0.02)
+        psize = np.full(6000, 3)
+        elim = [0, 5000]
+        ref_cuda_s = 0.117 * 0.2  # scaled: reference used schursize=50000
+        metric = "flat_schur_factor_solve_ms"
+    elif args.problem == "grid":
+        gen = SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37)
+        psize = np.full(10000, 3)
+        elim = []
+        ref_cuda_s = 0.27 * 0.25  # scaled from 200x200 batch-8 number
+        metric = "grid100_factor_solve_ms"
+    else:  # batch
+        gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)
+        psize = np.full(200, 3)
+        elim = []
+        ref_cuda_s = 0.004
+        metric = "batch256_factor_ms_per_matrix"
+
+    ss = gen.to_structure()
+    t0 = time.perf_counter()
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           psize, ss, sparse_elim_ranges=elim)
+    log(f"symbolic analysis: {time.perf_counter() - t0:.2f}s  "
+        f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
+        f"dataSize={solver.data_size}")
+
+    if args.problem == "batch":
+        B = 256
+        datas = np.stack([
+            np.asarray(solver.skel.damp(
+                random_spd_data(solver.data_size, solver.order, s, dtype),
+                0.0, solver.order * 1.5), dtype=dtype)
+            for s in range(4)] * (B // 4))
+        jd = jax.device_put(datas)
+        t = time_op(lambda: solver.factor(jd), n=args.reps)
+        per_matrix = t / B
+        log(f"batched factor: {t*1e3:.2f} ms total, "
+            f"{per_matrix*1e6:.1f} us/matrix")
+        print(json.dumps({
+            "metric": metric, "value": round(per_matrix * 1e3, 4),
+            "unit": "ms", "vs_baseline": round(per_matrix / ref_cuda_s, 4)}))
+        return
+
+    data = random_spd_data(solver.data_size, solver.order, 1, dtype)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5), dtype)
+    jd = jax.device_put(data)
+    rhs = jax.device_put(
+        np.random.RandomState(0).rand(solver.order, 1).astype(dtype))
+
+    tf = time_op(lambda: solver.factor(jd), n=args.reps)
+    f = solver.factor(jd)
+    ts = time_op(lambda: solver.solve(f, rhs), n=args.reps)
+    log(f"factor: {tf*1e3:.2f} ms   solve(1 rhs): {ts*1e3:.2f} ms")
+
+    # accuracy: relative factor residual ||L L^T - A|| / ||A||
+    fn = np.asarray(f, dtype=np.float64)
+    dense = solver.skel.densify(data.astype(np.float64),
+                                fill_upper_half=True)
+    L = np.tril(solver.skel.densify(fn))
+    resid = float(np.abs(L @ L.T - dense).max() / np.abs(dense).max())
+    log(f"factor relative residual: {resid:.2e}")
+
+    total = tf + ts
+    print(json.dumps({
+        "metric": metric, "value": round(total * 1e3, 3), "unit": "ms",
+        "vs_baseline": round(total / ref_cuda_s, 4)}))
+
+
+if __name__ == "__main__":
+    main()
