@@ -33,6 +33,12 @@ from .utils import cum_sum_vec
 MAX_SPARSE_ELIM_NODE_SIZE = 12
 MIN_NUM_SPARSE_ELIM_NODES = 50
 
+# Merged supernodes are capped: XLA's cholesky/triangular_solve compile
+# poorly above ~1k and the level-scheduled backend prefers several
+# same-shape panels (batching) over one giant one. The custom Pallas
+# kernels lift this in the tiled backend.
+MAX_SUPERNODE_SIZE = 512
+
 
 class EliminationTree:
     def __init__(self, param_size: Sequence[int], ss: SparseStructure,
@@ -211,6 +217,8 @@ class EliminationTree:
             sk, rk = float(node_size[k]), float(node_rows[k])
             sp, rp = float(node_size[p]), float(node_rows[p])
             sm = sp + sk
+            if sm > MAX_SUPERNODE_SIZE:
+                continue
             t_k = (cm.potrf_est(sk) + cm.trsm_est(sk, rk) +
                    syge_costs[k][0] + syge_costs[k][1] * sk +
                    asmbl_costs[k][0] + asmbl_costs[k][1] * num_merged[k])
