@@ -75,10 +75,16 @@ class NumericPlan:
     lump_levels: np.ndarray  # (num_lumps,) level-schedule depth of each lump
 
 
-def build_plan(skel: CoalescedBlockMatrixSkel,
-               sparse_elim_ranges) -> NumericPlan:
+def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
+               max_factor_lump: int = -1) -> NumericPlan:
+    """max_factor_lump: boards originating at lumps >= this are skipped —
+    with partial fill policies (AddFillForGivenElims/None) the skeleton
+    legitimately lacks the fill chains those updates would target, and the
+    solver's canFactorUpTo forbids executing them anyway."""
     sk = skel
     num_lumps = sk.num_lumps
+    if max_factor_lump < 0:
+        max_factor_lump = num_lumps
     span_start = sk.span_start
     span_size = span_start[1:] - span_start[:-1]
     lump_size_arr = sk.lump_start[1:] - sk.lump_start[:-1]
@@ -108,8 +114,8 @@ def build_plan(skel: CoalescedBlockMatrixSkel,
         for r_ptr in range(int(sk.board_row_ptr[l]),
                            int(sk.board_row_ptr[l + 1])):
             o = int(sk.board_col_lump[r_ptr])
-            if o >= l:
-                continue  # diagonal board of the column itself
+            if o >= l or o >= max_factor_lump:
+                continue  # diag board / origin beyond factorable range
             board_ord = int(sk.board_col_ord[r_ptr])
             lumps[l].boards.append(_build_board(sk, span_start, span_size,
                                                 l, o, board_ord))

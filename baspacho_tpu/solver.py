@@ -67,7 +67,10 @@ class Solver:
         self.permutation = np.asarray(permutation, dtype=np.int64)
         self.can_factor_up_to = (skel.num_spans if can_factor_up_to < 0
                                  else can_factor_up_to)
-        self.plan = build_plan(skel, self.sparse_elim_ranges)
+        max_lump = (skel.num_lumps
+                    if self.can_factor_up_to >= skel.num_spans
+                    else int(skel.span_to_lump[self.can_factor_up_to]))
+        self.plan = build_plan(skel, self.sparse_elim_ranges, max_lump)
         self.backend_type = backend
         if backend == BackendType.PLANNED:
             from .ops.planned_backend import PlannedBackend

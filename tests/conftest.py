@@ -6,8 +6,17 @@ validate numerics (float64 oracles need CPU) and multi-device sharding
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force host CPU (numeric oracles need native float64; the surrounding
+# environment may preset a TPU platform) and detach any remote-compile
+# relay hooks so a wedged tunnel can't stall CPU-only test runs
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+sys.path[:] = [p for p in sys.path if "axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":")
+    if "axon_site" not in p)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
