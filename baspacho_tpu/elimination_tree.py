@@ -50,71 +50,68 @@ class EliminationTree:
 
     # ------------------------------------------------------------------
     def build_tree(self) -> None:
+        """Elimination tree + per-column/row statistics.
+
+        Vectorized formulation: compute the full symbolic fill once (C++
+        fast path when built), then read everything off the filled CSC —
+        the etree parent is each column's first off-diagonal row, and all
+        the syge/asmbl linear cost accumulators are per-column suffix
+        cumsums evaluated with array ops.
+        """
         ord_ = self.ss.order
         cm = self.comp_model
-        parent = np.full(ord_, -1, dtype=np.int64)
-        tags = np.full(ord_, -1, dtype=np.int64)
-        node_rows = np.zeros(ord_, dtype=np.int64)
-        node_row_blocks = np.zeros(ord_, dtype=np.int64)
-        per_col_nodes: List[List[int]] = [[] for _ in range(ord_)]
         psize = self.param_size
-        ptrs, inds = self.ss.ptrs, self.ss.inds
 
-        # etree with row-subtree walk: row k's pattern is every node on the
-        # etree path from each entry of A(k, :k) up to k
-        for k in range(ord_):
-            tags[k] = k
-            for i in inds[ptrs[k]:ptrs[k + 1]]:
-                i = int(i)
-                if i >= k:
-                    continue
-                while tags[i] != k:
-                    if parent[i] == -1:
-                        parent[i] = k
-                    tags[i] = k
-                    node_rows[i] += psize[k]
-                    node_row_blocks[i] += 1
-                    per_col_nodes[i].append(k)
-                    i = int(parent[i])
+        filled = self.ss.add_full_elimination_fill()
+        csc = filled.transpose()  # per column: rows >= col, sorted
+        tptr, rows = csc.ptrs, csc.inds
+        col_len = tptr[1:] - tptr[:-1]
+        col_of = np.repeat(np.arange(ord_, dtype=np.int64), col_len)
+
+        parent = np.full(ord_, -1, dtype=np.int64)
+        has_below = col_len > 1
+        parent[has_below] = rows[tptr[:-1][has_below] + 1]
+
+        psz_r = psize[rows]
+        incl = np.cumsum(psz_r)
+        col_end_incl = incl[tptr[1:] - 1]
+        skipped_rows = col_end_incl[col_of] - incl  # suffix sums per column
+        pos_in_col = np.arange(len(rows)) - tptr[:-1][col_of]
+        skipped_blocks = (col_len[col_of] - 1) - pos_in_col
 
         self.parent = parent
         self.node_size = psize.copy()
-        self.node_rows = node_rows
-        self.node_row_blocks = node_row_blocks
+        self.node_rows = col_end_incl - psz_r[tptr[:-1]] - \
+            (incl[tptr[:-1]] - psz_r[tptr[:-1]])
+        self.node_row_blocks = col_len - 1
 
-        # per-column: walk rows bottom-up accumulating the linear (in node
-        # width) syge/asmbl cost models, and record per-row stats used for
-        # incremental cost updates during merging
-        syge_costs = np.zeros((ord_, 2))
-        asmbl_costs = np.zeros((ord_, 2))
-        # per_row_stats[r] = list of [col, r_blocks, rows, r_blocks_down,
-        # rows_down], kept sorted by col
+        # linear-in-width cost accumulators per column (vectorized
+        # syge_lin_est/asmbl_lin_est over all entries + per-column sums)
+        sp, ap = cm.syge_params, cm.asmbl_params
+        m = skipped_rows + psz_r
+        u, v = m + psz_r, m * psz_r
+        syge0 = sp[0] + u * sp[1] + v * sp[2]
+        syge1 = sp[3] + u * sp[4] + v * sp[5]
+        br = skipped_blocks + 1
+        asmbl0 = ap[0] + br * ap[1]
+        asmbl1 = ap[2] + br * ap[3]
+        nseg = ord_
+        self.syge_costs = np.stack([
+            np.bincount(col_of, weights=syge0, minlength=nseg),
+            np.bincount(col_of, weights=syge1, minlength=nseg)], axis=1)
+        self.asmbl_costs = np.stack([
+            np.bincount(col_of, weights=asmbl0, minlength=nseg),
+            np.bincount(col_of, weights=asmbl1, minlength=nseg)], axis=1)
+
+        # per_row_stats[r] = [col, r_blocks, rows, r_blocks_down, rows_down]
+        # sorted by col — entry order (row-major groups) via stable sort
+        order = np.argsort(rows, kind="stable")
         per_row_stats: List[List[list]] = [[] for _ in range(ord_)]
-        for col in range(ord_):
-            c = per_col_nodes[col]
-            c.append(col)
-            c.sort()
-            skipped_rows = 0
-            skipped_blocks = 0
-            syge_c = np.zeros(2)
-            asmbl_c = np.zeros(2)
-            for i in range(len(c) - 1, -1, -1):
-                row = c[i]
-                prs = int(psize[row])
-                syge_c += cm.syge_lin_est(skipped_rows + prs, prs)
-                asmbl_c += cm.asmbl_lin_est(skipped_blocks + 1)
-                per_row_stats[row].append(
-                    [col, 1, prs, skipped_blocks, skipped_rows])
-                skipped_rows += prs
-                skipped_blocks += 1
-            syge_costs[col] = syge_c
-            asmbl_costs[col] = asmbl_c
-        # entries were appended while scanning columns in increasing order,
-        # so each row's stats list is sorted by col already
-        self.per_col_nodes = per_col_nodes
+        for e in order:
+            per_row_stats[rows[e]].append(
+                [int(col_of[e]), 1, int(psz_r[e]),
+                 int(skipped_blocks[e]), int(skipped_rows[e])])
         self.per_row_stats = per_row_stats
-        self.syge_costs = syge_costs
-        self.asmbl_costs = asmbl_costs
 
     # ------------------------------------------------------------------
     def compute_node_heights(self, no_cross_points: Sequence[int]) -> None:

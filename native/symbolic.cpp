@@ -1,0 +1,304 @@
+// Native symbolic-analysis kernels for baspacho_tpu.
+//
+// Host-side graph algorithms that dominate symbolic-analysis time on large
+// problems, called from Python through ctypes (see baspacho_tpu/native.py):
+//   * bs_amd_order           — approximate-minimum-degree fill-reducing
+//                              ordering (quotient graph, element
+//                              absorption, AMD-style approximate external
+//                              degrees, supervariable hashing)
+//   * bs_full_elim_fill_*    — full symbolic Cholesky fill (elimination
+//                              tree row-pattern enumeration, two-pass)
+//   * bs_build_etree         — elimination tree + per-node row statistics
+//
+// All structures are block-level lower-half CSR: inds[ptrs[k]:ptrs[k+1]]
+// hold the column ids (<= k) of row k. Entries with col > row are ignored.
+//
+// Build: make -C native   (produces libbaspacho_symbolic.so)
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+using std::vector;
+typedef int64_t i64;
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// elimination tree (Liu's algorithm with path compression) + row stats
+// ---------------------------------------------------------------------------
+int bs_build_etree(i64 n, const i64* ptrs, const i64* inds,
+                   const i64* param_size, i64* parent_out, i64* node_rows,
+                   i64* node_row_blocks) {
+  vector<i64> ancestor(n, -1);
+  for (i64 k = 0; k < n; k++) parent_out[k] = -1;
+  for (i64 k = 0; k < n; k++) {
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+      i64 i = inds[q];
+      if (i >= k) continue;
+      while (i != k) {
+        i64 a = ancestor[i];
+        ancestor[i] = k;
+        if (a == -1) { parent_out[i] = k; break; }
+        if (a == k) break;
+        i = a;
+      }
+    }
+  }
+  // row stats need the actual fill pattern: per column i, every k>i with
+  // L(k,i) != 0 contributes param_size[k] rows; enumerate via tag walks
+  vector<i64> tags(n, -1), par(parent_out, parent_out + n);
+  for (i64 k = 0; k < n; k++) {
+    tags[k] = k;
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+      i64 i = inds[q];
+      if (i >= k) continue;
+      while (tags[i] != k) {
+        tags[i] = k;
+        node_rows[i] += param_size[k];
+        node_row_blocks[i] += 1;
+        i = par[i];
+        if (i < 0) break;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// full symbolic Cholesky fill: row k's pattern = nodes reachable in the
+// etree from entries of A(k, 0:k) stopping at visited nodes
+// ---------------------------------------------------------------------------
+static void fill_pass(i64 n, const i64* ptrs, const i64* inds,
+                      i64* counts, i64* out_ptrs, i64* out_inds) {
+  vector<i64> parent(n, -1), tags(n, -1);
+  vector<i64> cursor;
+  if (out_inds) cursor.assign(out_ptrs, out_ptrs + n);
+  for (i64 k = 0; k < n; k++) {
+    parent[k] = -1;
+    tags[k] = k;
+    if (counts) counts[k] = 1;
+    if (out_inds) out_inds[cursor[k]++] = k;
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+      i64 i = inds[q];
+      if (i >= k) continue;
+      while (tags[i] != k) {
+        if (parent[i] == -1) parent[i] = k;
+        tags[i] = k;
+        if (counts) counts[k]++;
+        if (out_inds) out_inds[cursor[k]++] = i;
+        i = parent[i];
+      }
+    }
+    if (out_inds) std::sort(out_inds + out_ptrs[k], out_inds + cursor[k]);
+  }
+}
+
+i64 bs_full_elim_fill_count(i64 n, const i64* ptrs, const i64* inds,
+                            i64* out_ptrs) {
+  vector<i64> counts(n, 0);
+  fill_pass(n, ptrs, inds, counts.data(), nullptr, nullptr);
+  i64 tot = 0;
+  for (i64 k = 0; k < n; k++) { out_ptrs[k] = tot; tot += counts[k]; }
+  out_ptrs[n] = tot;
+  return tot;
+}
+
+int bs_full_elim_fill_fill(i64 n, const i64* ptrs, const i64* inds,
+                           const i64* out_ptrs, i64* out_inds) {
+  fill_pass(n, ptrs, inds, nullptr, const_cast<i64*>(out_ptrs), out_inds);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// approximate minimum degree ordering (quotient graph)
+// ---------------------------------------------------------------------------
+// Design: classic AMD machinery —
+//   variables hold a plain-neighbor list A_v and an adjacent-element list
+//   E_v; eliminating pivot p turns it into element p with boundary
+//   L_p = (A_p U union of its elements' boundaries) minus eliminated;
+//   adjacent elements are absorbed; per-variable degrees are approximated
+//   with the standard w-counter trick: after forming L_p,
+//     d_v ~= |A_v \ L_p| + |L_p|-1 + sum_{e in E_v, e != p} |L_e \ L_p|
+//   where each |L_e \ L_p| comes from one shared counting sweep.
+//   Indistinguishable variables (same hash of A_v+E_v, verified exactly)
+//   are merged into supervariables.
+// This is an independent implementation of the published algorithm
+// (Amestoy–Davis–Duff, SIAM J. Matrix Anal. 1996).
+int bs_amd_order(i64 n, const i64* ptrs, const i64* inds, i64* perm_out) {
+  if (n == 0) return 0;
+  // symmetrized adjacency without self-loops
+  vector<vector<i64>> adj(n);
+  for (i64 k = 0; k < n; k++)
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+      i64 j = inds[q];
+      if (j == k || j >= n) continue;
+      adj[k].push_back(j);
+      adj[j].push_back(k);
+    }
+  for (i64 v = 0; v < n; v++) {
+    auto& a = adj[v];
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+  }
+
+  vector<vector<i64>> elems(n);        // elements adjacent to variable
+  vector<vector<i64>> evars(n);        // element id -> boundary supervars
+  vector<i64> degree(n), nv(n, 1);     // supervariable sizes
+  vector<char> alive(n, 1), is_elem(n, 0);
+  vector<i64> w(n, -1), wstamp(n, 0);  // per-pivot counters
+  vector<i64> lp_mark(n, 0);           // membership stamp for L_p
+  vector<i64> merged_into(n, -1);
+  i64 stamp = 0;
+
+  for (i64 v = 0; v < n; v++) degree[v] = (i64)adj[v].size();
+
+  // simple bucketed min-degree selection
+  i64 mindeg = 0;
+  vector<vector<i64>> buckets(n + 1);
+  vector<i64> bucket_of(n);
+  for (i64 v = 0; v < n; v++) {
+    i64 d = std::min<i64>(degree[v], n);
+    buckets[d].push_back(v);
+    bucket_of[v] = d;
+  }
+
+  auto requeue = [&](i64 v) {
+    i64 d = std::min<i64>(degree[v], n);
+    buckets[d].push_back(v);
+    bucket_of[v] = d;
+    if (d < mindeg) mindeg = d;
+  };
+
+  i64 pos = 0;
+  vector<i64> pivot_order;
+  pivot_order.reserve(n);
+  vector<i64> lp;  // pivot boundary (supervariables)
+  while (pos < n) {
+    // pick min-degree alive supervariable (lazy buckets)
+    i64 p = -1;
+    while (mindeg <= n) {
+      auto& b = buckets[mindeg];
+      while (!b.empty()) {
+        i64 v = b.back();
+        if (alive[v] && !is_elem[v] && bucket_of[v] == mindeg &&
+            std::min<i64>(degree[v], n) == mindeg) { p = v; break; }
+        b.pop_back();
+      }
+      if (p != -1) { buckets[mindeg].pop_back(); break; }
+      mindeg++;
+    }
+    if (p == -1) break;  // should not happen
+
+    // eliminate p (its merged members are expanded at the end)
+    alive[p] = 0;
+    is_elem[p] = 1;
+    pivot_order.push_back(p);
+    pos += nv[p];
+
+    // boundary L_p
+    stamp++;
+    lp.clear();
+    for (i64 u : adj[p])
+      if (alive[u] && lp_mark[u] != stamp) { lp_mark[u] = stamp; lp.push_back(u); }
+    for (i64 e : elems[p]) {
+      for (i64 u : evars[e])
+        if (alive[u] && lp_mark[u] != stamp) { lp_mark[u] = stamp; lp.push_back(u); }
+    }
+
+    i64 lp_size = 0;
+    for (i64 u : lp) lp_size += nv[u];
+
+    // w-counter sweep: |L_e \ L_p| for every element touching L_p
+    for (i64 u : lp)
+      for (i64 e : elems[u])
+        if (wstamp[e] != stamp) {
+          wstamp[e] = stamp;
+          i64 sz = 0;
+          for (i64 x : evars[e]) if (alive[x]) sz += nv[x];
+          w[e] = sz;
+        }
+    for (i64 u : lp)
+      for (i64 e : elems[u])
+        if (wstamp[e] == stamp) w[e] -= nv[u];
+
+    // absorb p's elements; p becomes the new element with boundary lp
+    for (i64 e : elems[p]) { evars[e].clear(); evars[e].shrink_to_fit(); is_elem[e] = 2; }
+    evars[p] = lp;
+
+    // update each boundary variable
+    for (i64 u : lp) {
+      // strip A_u of L_p members and of p itself; drop dead entries
+      auto& au = adj[u];
+      i64 keep = 0, a_deg = 0;
+      for (i64 x : au) {
+        if (!alive[x] || lp_mark[x] == stamp || x == p) continue;
+        au[keep++] = x;
+        a_deg += nv[x];
+      }
+      au.resize(keep);
+      // keep only live elements (absorbed ones dropped), add p
+      auto& eu = elems[u];
+      i64 ekeep = 0;
+      i64 outer = 0;
+      for (i64 e : eu) {
+        if (is_elem[e] != 1 || evars[e].empty()) continue;
+        if (e == p) continue;
+        eu[ekeep++] = e;
+        outer += (wstamp[e] == stamp && w[e] >= 0) ? w[e] : 0;
+      }
+      eu.resize(ekeep);
+      eu.push_back(p);
+      degree[u] = a_deg + (lp_size - nv[u]) + outer;
+      requeue(u);
+    }
+
+    // supervariable detection: hash boundary vars by (A_u, E_u)
+    // cheap version: group by (|A_u|, |E_u|, sum) then verify exactly
+    if (lp.size() > 1) {
+      vector<std::pair<i64, i64>> hashes;
+      hashes.reserve(lp.size());
+      for (i64 u : lp) {
+        i64 h = 1469598103934665603LL;
+        for (i64 x : adj[u]) h = (h ^ x) * 1099511628211LL;
+        for (i64 e : elems[u]) h = (h ^ (e + n)) * 1099511628211LL;
+        hashes.push_back({h, u});
+      }
+      std::sort(hashes.begin(), hashes.end());
+      for (size_t a = 0; a + 1 < hashes.size(); a++) {
+        if (hashes[a].first != hashes[a + 1].first) continue;
+        i64 u = hashes[a].second, v2 = hashes[a + 1].second;
+        if (!alive[u] || !alive[v2]) continue;
+        if (adj[u] != adj[v2] || elems[u] != elems[v2]) continue;
+        // merge v2 into u
+        alive[v2] = 0;
+        merged_into[v2] = u;
+        nv[u] += nv[v2];
+        degree[u] -= nv[v2];
+        hashes[a + 1].second = u;
+        requeue(u);
+      }
+    }
+  }
+
+  // expand supervariables: each pivot emits itself plus every variable
+  // merged (transitively) into it, in index order
+  {
+    vector<vector<i64>> members(n);
+    for (i64 v = 0; v < n; v++) {
+      i64 m = v;
+      while (merged_into[m] != -1) m = merged_into[m];
+      members[m].push_back(v);
+    }
+    i64 out = 0;
+    for (i64 pvt : pivot_order) {
+      std::sort(members[pvt].begin(), members[pvt].end());
+      for (i64 x : members[pvt]) perm_out[out++] = x;
+    }
+    if (out != n) return 1;
+  }
+  return 0;
+}
+
+}  // extern "C"
