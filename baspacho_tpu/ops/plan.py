@@ -73,6 +73,8 @@ class NumericPlan:
     lumps: List[LumpDesc]
     spans: List[SpanDesc]
     lump_levels: np.ndarray  # (num_lumps,) level-schedule depth of each lump
+    max_factor_lump: int = -1
+    boards_built: bool = False
 
 
 def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
@@ -89,71 +91,91 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
     span_size = span_start[1:] - span_start[:-1]
     lump_size_arr = sk.lump_start[1:] - sk.lump_start[:-1]
 
+    # vectorized per-lump geometry
+    cs_arr = sk.chain_col_ptr[:-1]
+    ce_arr = sk.chain_col_ptr[1:]
+    total_rows_arr = np.where(ce_arr > cs_arr,
+                              sk.chain_rows_till_end[ce_arr - 1], 0)
+    col_offset_arr = sk.chain_data[cs_arr]
+    n_diag = sk.lump_to_span[1:] - sk.lump_to_span[:-1]
+
+    # global expansion of all below-diagonal chain rows (RHS positions),
+    # with per-lump extents — each LumpDesc gets a view
+    chain_lump = np.repeat(np.arange(num_lumps, dtype=np.int64),
+                           ce_arr - cs_arr)
+    chain_pos = np.arange(len(sk.chain_row_span)) - cs_arr[chain_lump]
+    below_chain = chain_pos >= n_diag[chain_lump]
+    b_spans = sk.chain_row_span[below_chain]
+    b_lump = chain_lump[below_chain]
+    b_sizes = span_size[b_spans]
+    b_starts = span_start[b_spans]
+    tot = int(b_sizes.sum())
+    ex_cum = np.concatenate([[0], np.cumsum(b_sizes)[:-1]]) \
+        if len(b_sizes) else np.empty(0, np.int64)
+    global_rows = (np.repeat(b_starts - ex_cum, b_sizes) +
+                   np.arange(tot, dtype=np.int64)) \
+        if tot else np.empty(0, np.int64)
+    lump_row_counts = np.bincount(b_lump, weights=b_sizes,
+                                  minlength=num_lumps).astype(np.int64)
+    lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
+
     lumps: List[LumpDesc] = []
     for l in range(num_lumps):
-        cs, ce = int(sk.chain_col_ptr[l]), int(sk.chain_col_ptr[l + 1])
-        c = int(lump_size_arr[l])
-        total_rows = int(sk.chain_rows_till_end[ce - 1]) if ce > cs else 0
-        col_offset = int(sk.chain_data[cs])
-        # number of chains making up the diagonal block
-        s0, s1 = int(sk.lump_to_span[l]), int(sk.lump_to_span[l + 1])
-        n_diag_chains = s1 - s0
-        below_spans = sk.chain_row_span[cs + n_diag_chains:ce]
-        if len(below_spans):
-            below_row_idx = np.concatenate([
-                np.arange(span_start[s], span_start[s + 1], dtype=np.int64)
-                for s in below_spans])
-        else:
-            below_row_idx = np.empty(0, dtype=np.int64)
         lumps.append(LumpDesc(
-            index=l, col_offset=col_offset, total_rows=total_rows, size=c,
-            vec_offset=int(sk.lump_start[l]), below_row_idx=below_row_idx))
+            index=l, col_offset=int(col_offset_arr[l]),
+            total_rows=int(total_rows_arr[l]), size=int(lump_size_arr[l]),
+            vec_offset=int(sk.lump_start[l]),
+            below_row_idx=global_rows[lump_row_ptr[l]:lump_row_ptr[l + 1]]))
 
-    # boards: for each target lump l, updates from earlier columns
+    # per-span descriptors (for pseudo-factor), vectorized
+    sl = sk.span_to_lump[:-1]
+    stride_arr = lump_size_arr[sl]
+    base_arr = sk.chain_data[cs_arr[sl]]
+    off_in = sk.span_offset_in_lump[:-1]
+    diag_off_arr = base_arr + off_in * (1 + stride_arr)
+    below_rows_arr = total_rows_arr[sl] - off_in - span_size
+    below_off_arr = base_arr + (off_in + span_size) * stride_arr + off_in
+    spans = [SpanDesc(span=s, diag_offset=int(diag_off_arr[s]),
+                      stride=int(stride_arr[s]), size=int(span_size[s]),
+                      below_offset=int(below_off_arr[s]),
+                      below_rows=int(below_rows_arr[s]))
+             for s in range(sk.num_spans)]
+
+    # level schedule: level(l) = 1 + max(level of columns updating l);
+    # the updating columns of l are its row-boards' origin lumps
+    levels = np.zeros(num_lumps, dtype=np.int64)
+    bc = sk.board_col_lump
     for l in range(num_lumps):
+        r0, r1 = int(sk.board_row_ptr[l]), int(sk.board_row_ptr[l + 1])
+        origins = bc[r0:r1]
+        origins = origins[(origins < l) & (origins < max_factor_lump)]
+        if len(origins):
+            levels[l] = int(levels[origins].max()) + 1
+
+    return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
+                       lumps=lumps, spans=spans, lump_levels=levels,
+                       max_factor_lump=max_factor_lump)
+
+
+def ensure_boards(plan: "NumericPlan") -> None:
+    """Materialize per-board gather/scatter descriptors (used only by the
+    unrolled reference backend; the planned backend derives its block-pair
+    schedule directly)."""
+    if plan.boards_built:
+        return
+    sk = plan.skel
+    span_start = sk.span_start
+    span_size = span_start[1:] - span_start[:-1]
+    for l in range(sk.num_lumps):
         for r_ptr in range(int(sk.board_row_ptr[l]),
                            int(sk.board_row_ptr[l + 1])):
             o = int(sk.board_col_lump[r_ptr])
-            if o >= l or o >= max_factor_lump:
+            if o >= l or o >= plan.max_factor_lump:
                 continue  # diag board / origin beyond factorable range
             board_ord = int(sk.board_col_ord[r_ptr])
-            lumps[l].boards.append(_build_board(sk, span_start, span_size,
-                                                l, o, board_ord))
-
-    # per-span descriptors (for pseudo-factor)
-    spans: List[SpanDesc] = []
-    for s in range(sk.num_spans):
-        l = int(sk.span_to_lump[s])
-        c = int(lump_size_arr[l])
-        cs, ce = int(sk.chain_col_ptr[l]), int(sk.chain_col_ptr[l + 1])
-        base = int(sk.chain_data[cs])
-        off_in_lump = int(sk.span_offset_in_lump[s])
-        diag_offset = base + off_in_lump * (1 + c)
-        # rows strictly below this span in the column (other spans' chains
-        # come after the diag spans; within the diag, spans after s)
-        sz = int(span_size[s])
-        # row index (within column panel) where span s's diag block starts
-        row_of_span = off_in_lump
-        total_rows = int(sk.chain_rows_till_end[ce - 1])
-        below_rows = total_rows - row_of_span - sz
-        below_offset = base + (row_of_span + sz) * c + off_in_lump
-        spans.append(SpanDesc(span=s, diag_offset=diag_offset, stride=c,
-                              size=sz, below_offset=below_offset,
-                              below_rows=below_rows))
-
-    # level schedule: level(l) = 1 + max(level(origin) for boards) so that
-    # lumps in the same level have no factor-order dependencies
-    levels = np.zeros(num_lumps, dtype=np.int64)
-    for l in range(num_lumps):
-        dep = 0
-        for b in lumps[l].boards:
-            dep = max(dep, levels[b.origin_lump] + 1)
-        # also depends on earlier lumps that share... boards capture all
-        # numeric deps: column l is updated only through its boards
-        levels[l] = dep
-
-    return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
-                       lumps=lumps, spans=spans, lump_levels=levels)
+            plan.lumps[l].boards.append(
+                _build_board(sk, span_start, span_size, l, o, board_ord))
+    plan.boards_built = True
 
 
 def _build_board(sk: CoalescedBlockMatrixSkel, span_start, span_size,

@@ -60,6 +60,12 @@ def _i32(a) -> np.ndarray:
     return np.asarray(a, dtype=np.int32)
 
 
+def _pad_pow2(x: np.ndarray, floor: int) -> np.ndarray:
+    """Vectorized pad_dim."""
+    x = np.maximum(np.asarray(x, dtype=np.int64), floor)
+    return np.int64(1) << np.ceil(np.log2(x)).astype(np.int64)
+
+
 @dataclass
 class LumpBucket:
     """Same-padded-shape supernode panels factored as one batched op.
@@ -110,6 +116,14 @@ class PlannedBackend:
             if len(plan.lump_levels) else 0
         self._sched_cache: Dict[Tuple[int, int], list] = {}
         self._solve_cache: Dict[Tuple[int, int], list] = {}
+        # global chain lookup: key (lump_of_chain, row_span) is globally
+        # ascending in chain storage order -> one searchsorted resolves any
+        # (target lump, span) to its chain index
+        sk = plan.skel
+        chain_lump = np.repeat(
+            np.arange(sk.num_lumps, dtype=np.int64),
+            sk.chain_col_ptr[1:] - sk.chain_col_ptr[:-1])
+        self._chain_keys = chain_lump * sk.num_spans + sk.chain_row_span
 
     # ------------------------------------------------------------------
     # schedule construction (host, cached per lump range)
@@ -183,10 +197,18 @@ class PlannedBackend:
 
     def _build_pairs(self, lds, origin_pos) -> List[PairBucket]:
         """Lower block pairs of all level columns, grouped by padded block
-        shape; sources are absolute offsets into the level product buffer."""
+        shape; sources are absolute offsets into the level product buffer.
+        Fully vectorized: pair enumeration via tril indices per column,
+        target chain location via one searchsorted on the global
+        (lump, span) chain key array."""
         sk = self.plan.skel
         span_size = sk.span_start[1:] - sk.span_start[:-1]
-        pgroups: Dict[Tuple[int, int], list] = {}
+        lump_size = sk.lump_start[1:] - sk.lump_start[:-1]
+        ck = self._chain_keys
+        S = sk.num_spans
+
+        parts = []  # (src, stride, rs, cs, tgt, tgt_c) arrays per column
+        tril_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         for ld in lds:
             if ld.index not in origin_pos:
                 continue
@@ -195,37 +217,48 @@ class PlannedBackend:
             cs, ce = int(sk.chain_col_ptr[o]), int(sk.chain_col_ptr[o + 1])
             nd = int(sk.lump_to_span[o + 1] - sk.lump_to_span[o])
             spans = sk.chain_row_span[cs + nd:ce]
+            nb = len(spans)
+            if nb == 0:
+                continue
             sizes = span_size[spans]
-            row_offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]) \
-                if len(sizes) else np.empty(0, np.int64)
-            for j in range(len(spans)):
-                sj = int(spans[j])
-                tl = int(sk.span_to_lump[sj])
-                tgt_c = int(sk.lump_start[tl + 1] - sk.lump_start[tl])
-                tcs = int(sk.chain_col_ptr[tl])
-                tce = int(sk.chain_col_ptr[tl + 1])
-                tspans = sk.chain_row_span[tcs:tce]
-                col_off = int(sk.span_offset_in_lump[sj])
-                for i in range(j, len(spans)):
-                    si = int(spans[i])
-                    pos = tcs + int(np.searchsorted(tspans, si))
-                    assert sk.chain_row_span[pos] == si, \
-                        "missing fill chain in target column"
-                    tgt = int(sk.chain_data[pos]) + col_off
-                    rs, cls = int(sizes[i]), int(sizes[j])
-                    src = base + int(row_offs[i]) * rp + int(row_offs[j])
-                    pgroups.setdefault((pad_dim(rs, PAD_COLS),
-                                        pad_dim(cls, PAD_COLS)),
-                                       []).append(
-                        (src, rp, rs, cls, tgt, tgt_c))
+            row_offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            tri = tril_cache.get(nb)
+            if tri is None:
+                tri = np.tril_indices(nb)
+                tril_cache[nb] = tri
+            i_idx, j_idx = tri
+            si, sj = spans[i_idx], spans[j_idx]
+            tl = sk.span_to_lump[sj]
+            pos = np.searchsorted(ck, tl * S + si)
+            assert np.array_equal(sk.chain_row_span[pos], si), \
+                "missing fill chain in target column"
+            parts.append((
+                base + row_offs[i_idx] * rp + row_offs[j_idx],
+                np.full(len(si), rp, dtype=np.int64),
+                sizes[i_idx], sizes[j_idx],
+                sk.chain_data[pos] + sk.span_offset_in_lump[sj],
+                lump_size[tl]))
+        if not parts:
+            return []
+        src, stride, rs, cls, tgt, tgt_c = (
+            np.concatenate([p[i] for p in parts]) for i in range(6))
+        # bucket by padded block shape
+        rsp = _pad_pow2(rs, PAD_COLS)
+        csp = _pad_pow2(cls, PAD_COLS)
+        bucket_key = rsp * 100000 + csp
+        order = np.argsort(bucket_key, kind="stable")
+        keys_sorted = bucket_key[order]
+        bounds = np.concatenate([[0],
+                                 np.nonzero(np.diff(keys_sorted))[0] + 1,
+                                 [len(keys_sorted)]])
         out = []
-        for (rsp, csp), rows in sorted(pgroups.items()):
-            arr = np.array(rows, dtype=np.int64).T
+        for bi in range(len(bounds) - 1):
+            sel = order[bounds[bi]:bounds[bi + 1]]
             out.append(PairBucket(
-                rsp=rsp, csp=csp,
-                src_base=_i32(arr[0]), src_stride=_i32(arr[1]),
-                rs=_i32(arr[2]), cs=_i32(arr[3]),
-                tgt_base=_i32(arr[4]), tgt_stride=_i32(arr[5])))
+                rsp=int(rsp[sel[0]]), csp=int(csp[sel[0]]),
+                src_base=_i32(src[sel]), src_stride=_i32(stride[sel]),
+                rs=_i32(rs[sel]), cs=_i32(cls[sel]),
+                tgt_base=_i32(tgt[sel]), tgt_stride=_i32(tgt_c[sel])))
         return out
 
     def _solve_schedule(self, start: int, end: int) -> List[List[LumpBucket]]:

@@ -48,6 +48,8 @@ class UnrolledBackend:
     """Builds jitted numeric functions from a NumericPlan by unrolling."""
 
     def __init__(self, plan: NumericPlan):
+        from .plan import ensure_boards
+        ensure_boards(plan)
         self.plan = plan
         self._cache = {}
 
