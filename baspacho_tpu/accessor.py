@@ -41,7 +41,7 @@ class CoalescedAccessor:
         col_span = np.asarray(col_span, dtype=np.int64)
         assert np.all(row_span >= col_span)
         lump = sk.span_to_lump[col_span]
-        lump_size = sk.lump_start[lump + 1] - sk.lump_start[lump]
+        lump_size = sk.col_stride[lump]
         off_in_lump = sk.span_offset_in_lump[col_span]
         start = sk.chain_col_ptr[lump]
         end = sk.chain_col_ptr[lump + 1]
@@ -67,9 +67,9 @@ class CoalescedAccessor:
         sk = self.skel
         span_arr = np.asarray(span, dtype=np.int64)
         lump = sk.span_to_lump[span_arr]
-        lump_size = sk.lump_start[lump + 1] - sk.lump_start[lump]
+        lump_size = sk.col_stride[lump]
         off_in_lump = sk.span_offset_in_lump[span_arr]
-        base = sk.chain_data[sk.chain_col_ptr[lump]]
+        base = sk.panel_base[lump]
         off = base + off_in_lump * (1 + lump_size)
         if np.isscalar(span) or span_arr.ndim == 0:
             return int(off), int(lump_size)

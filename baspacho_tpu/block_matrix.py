@@ -29,7 +29,24 @@ INVALID = -1
 
 
 class CoalescedBlockMatrixSkel:
-    def __init__(self, span_start, lump_to_span, col_ptr, row_ind):
+    """Factor skeleton.
+
+    Storage layout: each lump-column is a panel
+        [ diag block  (col_stride x col_stride) ]
+        [ below block (padded_below x col_stride) ]
+    at flat offset `panel_base[l]`, where col_stride >= lump width and
+    padded_below >= actual below rows. With `pad_fn=None` the padding is
+    zero (col_stride == width, padded_below == below rows) and the layout
+    matches the reference's packed scheme (CoalescedBlockMatrix.cpp).
+    With a pad function (used by the TPU planned backend), panels are
+    padded to bucket shapes so that groups of same-shape columns are
+    contiguous, letting batched kernels address them with plain reshapes
+    instead of gathers. Padding regions must hold zeros for factor
+    correctness (Solver zeroes them defensively).
+    """
+
+    def __init__(self, span_start, lump_to_span, col_ptr, row_ind,
+                 pad_fn=None):
         span_start = np.asarray(span_start, dtype=np.int64)
         lump_to_span = np.asarray(lump_to_span, dtype=np.int64)
         col_ptr = np.asarray(col_ptr, dtype=np.int64)
@@ -77,11 +94,6 @@ class CoalescedBlockMatrixSkel:
         self.chain_row_span = row_ind.copy()
         chain_col = np.repeat(np.arange(num_lumps, dtype=np.int64),
                               col_ptr[1:] - col_ptr[:-1])
-        chain_sizes = span_size[row_ind] * lump_size[chain_col]
-        chain_data = np.empty(len(row_ind) + 1, dtype=np.int64)
-        chain_data[0] = 0
-        np.cumsum(chain_sizes, out=chain_data[1:])
-        self.chain_data = chain_data
         # rows of the column consumed after each chain (reset per column)
         rows_cum = np.cumsum(span_size[row_ind])
         ex_cum = rows_cum - span_size[row_ind]  # exclusive cumsum
@@ -89,6 +101,43 @@ class CoalescedBlockMatrixSkel:
                              else np.empty(0, np.int64),
                              col_ptr[1:] - col_ptr[:-1])
         self.chain_rows_till_end = rows_cum - col_base
+
+        # per-column rows & padded panel geometry
+        total_rows = np.zeros(num_lumps, dtype=np.int64)
+        nonempty = col_ptr[1:] > col_ptr[:-1]
+        total_rows[nonempty] = self.chain_rows_till_end[
+            col_ptr[1:][nonempty] - 1]
+        below_rows = total_rows - lump_size
+        if pad_fn is None:
+            col_stride = lump_size.copy()
+            padded_below = below_rows.copy()
+        else:
+            padded_below, col_stride = pad_fn(below_rows, lump_size)
+            padded_below = np.asarray(padded_below, dtype=np.int64)
+            col_stride = np.asarray(col_stride, dtype=np.int64)
+            assert np.all(col_stride >= lump_size)
+            assert np.all(padded_below >= below_rows)
+        self.col_stride = col_stride
+        self.padded_below = padded_below
+        self.below_rows = below_rows
+        panel_len = (col_stride + padded_below) * col_stride
+        panel_base = np.zeros(num_lumps + 1, dtype=np.int64)
+        np.cumsum(panel_len, out=panel_base[1:])
+        self.panel_base = panel_base
+
+        # chain data offsets inside padded panels: a chain starting at
+        # logical column row r sits at panel_base + r' * col_stride where
+        # r' = r for diagonal chains and col_stride + (r - width) below
+        row_start = self.chain_rows_till_end - span_size[row_ind]
+        is_diag = row_start < lump_size[chain_col]
+        prow = np.where(is_diag, row_start,
+                        col_stride[chain_col] + row_start -
+                        lump_size[chain_col])
+        chain_data = np.empty(len(row_ind) + 1, dtype=np.int64)
+        chain_data[:-1] = panel_base[chain_col] + \
+            prow * col_stride[chain_col]
+        chain_data[-1] = panel_base[-1]
+        self.chain_data = chain_data
 
         # boards: runs of chains with the same row-lump, per column, with a
         # terminating sentinel per column
@@ -174,15 +223,17 @@ class CoalescedBlockMatrixSkel:
         for a in range(start_lump, self.num_lumps):
             l_begin = int(self.lump_start[a])
             l_size = int(self.lump_start[a + 1]) - l_begin
+            stride = int(self.col_stride[a])
             for i in range(int(self.chain_col_ptr[a]),
                            int(self.chain_col_ptr[a + 1])):
                 p = int(self.chain_row_span[i])
                 p_start = int(self.span_start[p])
                 p_size = int(self.span_start[p + 1]) - p_start
                 ptr = int(self.chain_data[i])
+                idx = ptr + np.arange(p_size)[:, None] * stride + \
+                    np.arange(l_size)[None, :]
                 dense[p_start - offset:p_start - offset + p_size,
-                      l_begin - offset:l_begin - offset + l_size] = \
-                    data[ptr:ptr + p_size * l_size].reshape(p_size, l_size)
+                      l_begin - offset:l_begin - offset + l_size] = data[idx]
         if fill_upper_half:
             iu = np.triu_indices(tot, k=1)
             dense[iu] = dense.T[iu]
@@ -202,8 +253,28 @@ class CoalescedBlockMatrixSkel:
         """Flat-data indices of all diagonal elements of the matrix."""
         parts = []
         for a in range(self.num_lumps):
-            base = int(self.chain_data[self.chain_col_ptr[a]])
+            base = int(self.panel_base[a])
             size = int(self.lump_start[a + 1] - self.lump_start[a])
-            parts.append(base + np.arange(size, dtype=np.int64) * (size + 1))
+            stride = int(self.col_stride[a])
+            parts.append(base +
+                         np.arange(size, dtype=np.int64) * (stride + 1))
         return (np.concatenate(parts) if parts
                 else np.empty(0, dtype=np.int64))
+
+    def padding_mask(self) -> np.ndarray:
+        """0/1 mask over flat data: 1 at real positions, 0 at padding.
+        All-ones when the layout is unpadded."""
+        mask = np.zeros(self.data_size, dtype=np.int8)
+        lump_size = self.lump_start[1:] - self.lump_start[:-1]
+        for a in range(self.num_lumps):
+            base = int(self.panel_base[a])
+            w = int(lump_size[a])
+            stride = int(self.col_stride[a])
+            br = int(self.below_rows[a])
+            idx = base + np.arange(w)[:, None] * stride + np.arange(w)
+            mask[idx.ravel()] = 1
+            if br:
+                b0 = base + stride * stride
+                idx = b0 + np.arange(br)[:, None] * stride + np.arange(w)
+                mask[idx.ravel()] = 1
+        return mask

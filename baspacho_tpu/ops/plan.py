@@ -36,6 +36,7 @@ class BoardDesc:
     target_lump: int
     origin_lump: int
     src_offset: int      # flat-data offset of the board's first chain
+    src_stride: int      # origin panel row stride (padded column width)
     full_rows: int       # rows from board start to end of origin column
     sub_rows: int        # rows of the board itself (into target lump)
     width: int           # origin lump size (k of the gemm)
@@ -45,25 +46,37 @@ class BoardDesc:
 @dataclass
 class LumpDesc:
     index: int
-    col_offset: int      # flat-data offset of column panel
-    total_rows: int      # diag + below-diag rows
+    col_offset: int      # flat-data offset of column panel (= panel base)
+    total_rows: int      # diag + below-diag logical rows
     size: int            # lump width (= diag rows)
+    stride: int          # panel row stride (padded width, >= size)
+    prp: int             # padded below-row count (>= total_rows - size)
     vec_offset: int      # position of lump in a RHS vector
     below_row_idx: np.ndarray  # (total_rows - size,) RHS positions of below rows
     boards: List[BoardDesc] = field(default_factory=list)
 
+    @property
+    def below(self) -> int:
+        return self.total_rows - self.size
+
+    @property
+    def below_offset(self) -> int:
+        return self.col_offset + self.stride * self.stride
+
 
 @dataclass
 class SpanDesc:
-    """Per-span info for pseudo-factor / sparse per-span ops."""
+    """Per-span info for pseudo-factor / sparse per-span ops. The rows
+    below a span split into two regions in the padded panel: the rest of
+    the diagonal block (within-lump spans after it) and the below panel."""
     span: int
     diag_offset: int
     stride: int
     size: int
-    # chains strictly below this span within its own lump-column, restricted
-    # to this span's columns: flat offsets + row counts
-    below_offset: int
-    below_rows: int
+    below1_offset: int   # within-diag rows below the span
+    below1_rows: int
+    below2_offset: int   # below-panel rows (restricted to span's columns)
+    below2_rows: int
 
 
 @dataclass
@@ -122,23 +135,28 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
     lumps: List[LumpDesc] = []
     for l in range(num_lumps):
         lumps.append(LumpDesc(
-            index=l, col_offset=int(col_offset_arr[l]),
+            index=l, col_offset=int(sk.panel_base[l]),
             total_rows=int(total_rows_arr[l]), size=int(lump_size_arr[l]),
+            stride=int(sk.col_stride[l]), prp=int(sk.padded_below[l]),
             vec_offset=int(sk.lump_start[l]),
             below_row_idx=global_rows[lump_row_ptr[l]:lump_row_ptr[l + 1]]))
 
     # per-span descriptors (for pseudo-factor), vectorized
     sl = sk.span_to_lump[:-1]
-    stride_arr = lump_size_arr[sl]
-    base_arr = sk.chain_data[cs_arr[sl]]
+    stride_arr = sk.col_stride[sl]
+    base_arr = sk.panel_base[sl]
     off_in = sk.span_offset_in_lump[:-1]
     diag_off_arr = base_arr + off_in * (1 + stride_arr)
-    below_rows_arr = total_rows_arr[sl] - off_in - span_size
-    below_off_arr = base_arr + (off_in + span_size) * stride_arr + off_in
+    b1_rows = lump_size_arr[sl] - off_in - span_size
+    b1_off = base_arr + (off_in + span_size) * stride_arr + off_in
+    b2_rows = sk.below_rows[sl]
+    b2_off = base_arr + stride_arr * stride_arr + off_in
     spans = [SpanDesc(span=s, diag_offset=int(diag_off_arr[s]),
                       stride=int(stride_arr[s]), size=int(span_size[s]),
-                      below_offset=int(below_off_arr[s]),
-                      below_rows=int(below_rows_arr[s]))
+                      below1_offset=int(b1_off[s]),
+                      below1_rows=int(b1_rows[s]),
+                      below2_offset=int(b2_off[s]),
+                      below2_rows=int(b2_rows[s]))
              for s in range(sk.num_spans)]
 
     # level schedule: level(l) = 1 + max(level of columns updating l);
@@ -198,7 +216,7 @@ def _build_board(sk: CoalescedBlockMatrixSkel, span_start, span_size,
     # product cols = origin-column spans chain0..chain1 (spans of target lump)
     tgt_cs = int(sk.chain_col_ptr[target])
     tgt_ce = int(sk.chain_col_ptr[target + 1])
-    tgt_c = int(sk.lump_start[target + 1] - sk.lump_start[target])
+    tgt_c = int(sk.col_stride[target])
     tgt_spans = sk.chain_row_span[tgt_cs:tgt_ce]
 
     col_spans = sk.chain_row_span[cs + chain0:cs + chain1]
@@ -235,5 +253,7 @@ def _build_board(sk: CoalescedBlockMatrixSkel, span_start, span_size,
         r0 += rs
 
     return BoardDesc(target_lump=target, origin_lump=origin,
-                     src_offset=src_offset, full_rows=full_rows,
-                     sub_rows=sub_rows, width=width, scatter_idx=scatter)
+                     src_offset=src_offset,
+                     src_stride=int(sk.col_stride[origin]),
+                     full_rows=full_rows, sub_rows=sub_rows, width=width,
+                     scatter_idx=scatter)

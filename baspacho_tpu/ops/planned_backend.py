@@ -56,6 +56,15 @@ PAD_ROWS = 8    # floor for below-diag panel rows
 PAD_COLS = 4    # floor for lump widths / pair block dims
 
 
+def storage_pad(below_rows, widths):
+    """Padded panel shape policy shared by the skeleton storage layout and
+    the planned backend's buckets: power-of-two with floors; columns with
+    no below rows get no row padding."""
+    below_rows = np.asarray(below_rows, dtype=np.int64)
+    prp = np.where(below_rows == 0, 0, _pad_pow2(below_rows, PAD_ROWS))
+    return prp, _pad_pow2(np.asarray(widths, dtype=np.int64), PAD_COLS)
+
+
 def _i32(a) -> np.ndarray:
     return np.asarray(a, dtype=np.int32)
 
@@ -70,29 +79,22 @@ def _pad_pow2(x: np.ndarray, floor: int) -> np.ndarray:
 class LumpBucket:
     """Same-padded-shape supernode panels factored as one batched op.
 
-    A panel splits into the (cols x cols) diagonal block at `off` and the
-    (rows x cols) below-diagonal block at `off + cols^2` (chains of a
-    column are contiguous); the two are gathered separately so padding
-    never mixes diag and below rows."""
+    Each panel is [(cp x cp) padded diag | (rp x cp) padded below] at
+    flat offset `off`. With the level-shape-reordered padded storage
+    layout, a bucket's panels are adjacent in memory (`contiguous`) and
+    the whole (B, cp+rp, cp) tensor is one reshape of a contiguous slice
+    — no gather; otherwise an affine masked gather is used."""
     rp: int              # padded below rows
-    cp: int              # padded lump width
+    cp: int              # padded lump width (= panel row stride)
     off: np.ndarray      # (B,) panel flat-data offsets
     rows: np.ndarray     # (B,) actual below rows
     cols: np.ndarray     # (B,) actual lump widths
     vec_off: np.ndarray  # (B,) RHS offsets
     below_idx: np.ndarray = None  # (B, rp) RHS rows of below rows (solve)
-
-
-@dataclass
-class OriginBucket:
-    """Columns whose below-diagonal outer product updates later columns."""
-    rp: int
-    cp: int
-    off: np.ndarray
-    rows: np.ndarray
-    cols: np.ndarray
-    prod_base: int = 0   # offset of this bucket's products in the level's
-    #                      concatenated flat product buffer
+    contiguous: bool = False
+    prod_base: int = 0   # offset of this bucket's outer products in the
+    #                      level's concatenated flat product buffer
+    members: list = None  # lump ids in bucket order
 
 
 @dataclass
@@ -144,55 +146,47 @@ class PlannedBackend:
             self._sched_cache[key] = sched
         return sched
 
-    def _build_level(self, lds):
-        lump_buckets = self._bucket_lumps(lds, with_below_idx=False)
-        # origin buckets: lumps with below rows, padded below/width shape
-        groups: Dict[Tuple[int, int], list] = {}
-        for ld in lds:
-            below = ld.total_rows - ld.size
-            if below > 0:
-                groups.setdefault((pad_dim(below, PAD_ROWS),
-                                   pad_dim(ld.size, PAD_COLS)),
-                                  []).append(ld)
-        origin_buckets: List[OriginBucket] = []
+    def _build_level(self, lds, with_below_idx=False):
+        """Bucket the level's lumps; assign product-buffer offsets to
+        buckets with below rows; enumerate assembly block pairs."""
+        lump_buckets = self._bucket_lumps(lds, with_below_idx)
         prod_total = 0
-        origin_pos: Dict[int, Tuple[int, int, int]] = {}  # lump -> loc
-        for (rp, cp), g in sorted(groups.items()):
-            ob = OriginBucket(
-                rp=rp, cp=cp,
-                off=_i32([x.col_offset + x.size * x.size for x in g]),
-                rows=_i32([x.total_rows - x.size for x in g]),
-                cols=_i32([x.size for x in g]),
-                prod_base=prod_total)
-            for bi, x in enumerate(g):
-                origin_pos[x.index] = (prod_total + bi * rp * rp, rp)
-            prod_total += len(g) * rp * rp
-            origin_buckets.append(ob)
+        origin_pos: Dict[int, Tuple[int, int]] = {}
+        for lb in lump_buckets:
+            if lb.rp == 0:
+                continue
+            lb.prod_base = prod_total
+            for bi, l in enumerate(lb.members):
+                origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
+            prod_total += len(lb.off) * lb.rp * lb.rp
         pair_buckets = self._build_pairs(lds, origin_pos)
-        return lump_buckets, origin_buckets, pair_buckets, prod_total
+        return lump_buckets, pair_buckets, prod_total
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
         groups: Dict[Tuple[int, int], list] = {}
         for ld in lds:
-            k = (pad_dim(ld.total_rows - ld.size, PAD_ROWS),
-                 pad_dim(ld.size, PAD_COLS))
-            groups.setdefault(k, []).append(ld)
+            groups.setdefault((ld.prp, ld.stride), []).append(ld)
         out = []
         for (rp, cp), g in sorted(groups.items()):
+            g = sorted(g, key=lambda x: x.col_offset)
             bidx = None
             if with_below_idx:
                 bidx = np.full((len(g), max(rp, 1)), order, dtype=np.int64)
                 for i, x in enumerate(g):
                     bidx[i, :len(x.below_row_idx)] = x.below_row_idx
                 bidx = _i32(bidx)
-            out.append(LumpBucket(
-                rp=rp, cp=cp,
-                off=_i32([x.col_offset for x in g]),
+            offs = np.array([x.col_offset for x in g], dtype=np.int64)
+            panel = (rp + cp) * cp
+            contiguous = bool(np.all(np.diff(offs) == panel))
+            lb = LumpBucket(
+                rp=rp, cp=cp, off=_i32(offs),
                 rows=_i32([x.total_rows - x.size for x in g]),
                 cols=_i32([x.size for x in g]),
                 vec_off=_i32([x.vec_offset for x in g]),
-                below_idx=bidx))
+                below_idx=bidx, contiguous=contiguous)
+            lb.members = [x.index for x in g]
+            out.append(lb)
         return out
 
     def _build_pairs(self, lds, origin_pos) -> List[PairBucket]:
@@ -203,7 +197,7 @@ class PlannedBackend:
         (lump, span) chain key array."""
         sk = self.plan.skel
         span_size = sk.span_start[1:] - sk.span_start[:-1]
-        lump_size = sk.lump_start[1:] - sk.lump_start[:-1]
+        tgt_stride_arr = sk.col_stride
         ck = self._chain_keys
         S = sk.num_spans
 
@@ -237,7 +231,7 @@ class PlannedBackend:
                 np.full(len(si), rp, dtype=np.int64),
                 sizes[i_idx], sizes[j_idx],
                 sk.chain_data[pos] + sk.span_offset_in_lump[sj],
-                lump_size[tl]))
+                tgt_stride_arr[tl]))
         if not parts:
             return []
         src, stride, rs, cls, tgt, tgt_c = (
@@ -273,27 +267,30 @@ class PlannedBackend:
     # ------------------------------------------------------------------
     # jit-graph building blocks
     # ------------------------------------------------------------------
-    @staticmethod
-    def _panel_idx(off, rows, cols, rp, cp, oob_slot):
-        off = jnp.asarray(off)
-        rows = jnp.asarray(rows)
-        cols = jnp.asarray(cols)
-        r = jax.lax.broadcasted_iota(jnp.int32, (1, rp, cp), 1)
-        c = jax.lax.broadcasted_iota(jnp.int32, (1, rp, cp), 2)
-        mask = (r < rows[:, None, None]) & (c < cols[:, None, None])
-        idx = off[:, None, None] + r * cols[:, None, None] + c
-        return jnp.where(mask, idx, oob_slot)
+    def _read_panels(self, ext, lb: LumpBucket):
+        """(B, cp+rp, cp) panel tensor: contiguous reshape when the
+        storage layout is level-ordered, affine gather otherwise."""
+        B = len(lb.off)
+        h = lb.cp + lb.rp
+        if lb.contiguous:
+            flat = jax.lax.dynamic_slice_in_dim(
+                ext, int(lb.off[0]), B * h * lb.cp)
+            return flat.reshape(B, h, lb.cp)
+        off = jnp.asarray(lb.off)
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 2)
+        return ext[off[:, None, None] + r * lb.cp + c]
 
-    @classmethod
-    def _gather_panels(cls, ext, off, rows, cols, rp, cp):
-        """(B, rp, cp) panels from flat ext data; padding reads zero."""
-        return ext[cls._panel_idx(off, rows, cols, rp, cp,
-                                  ext.shape[0] - 1)]
-
-    @classmethod
-    def _scatter_panels(cls, ext, vals, off, rows, cols, rp, cp):
-        return ext.at[cls._panel_idx(off, rows, cols, rp, cp,
-                                     ext.shape[0] - 2)].set(vals)
+    def _write_panels(self, ext, lb: LumpBucket, panels):
+        B = len(lb.off)
+        h = lb.cp + lb.rp
+        if lb.contiguous:
+            return jax.lax.dynamic_update_slice_in_dim(
+                ext, panels.reshape(-1), int(lb.off[0]), axis=0)
+        off = jnp.asarray(lb.off)
+        r = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 2)
+        return ext.at[off[:, None, None] + r * lb.cp + c].set(panels)
 
     @staticmethod
     def _pad_eye(cols, cp, dtype):
@@ -303,37 +300,26 @@ class PlannedBackend:
                 (i_ >= jnp.asarray(cols)[:, None, None])).astype(dtype)
 
     def _factor_bucket(self, ext, lb: LumpBucket):
-        """Batched potrf + trsm of one lump bucket."""
-        diag = self._gather_panels(ext, lb.off, lb.cols, lb.cols,
-                                   lb.cp, lb.cp)
-        L = jax.lax.linalg.cholesky(
-            diag + self._pad_eye(lb.cols, lb.cp, ext.dtype),
-            symmetrize_input=False)
-        ext = self._scatter_panels(ext, L, lb.off, lb.cols, lb.cols,
-                                   lb.cp, lb.cp)
+        """Batched potrf + trsm of one bucket; returns (ext, flat_prod)."""
+        panels = self._read_panels(ext, lb)
+        pad_eye = self._pad_eye(lb.cols, lb.cp, ext.dtype)
+        L = jax.lax.linalg.cholesky(panels[:, :lb.cp] + pad_eye,
+                                    symmetrize_input=False)
+        prod = None
         if lb.rp > 0:
-            boff = _i32(np.asarray(lb.off, np.int64) +
-                        np.asarray(lb.cols, np.int64) ** 2)
-            below = self._gather_panels(ext, boff, lb.rows, lb.cols,
-                                        lb.rp, lb.cp)
             x = jax.lax.linalg.triangular_solve(
-                L, below, left_side=False, lower=True, transpose_a=True)
-            ext = self._scatter_panels(ext, x, boff, lb.rows, lb.cols,
-                                       lb.rp, lb.cp)
-        return ext
+                L, panels[:, lb.cp:], left_side=False, lower=True,
+                transpose_a=True)
+            new_panels = jnp.concatenate([L - pad_eye, x], axis=1)
+            prod = jnp.einsum("brk,bsk->brs", x, x,
+                              preferred_element_type=ext.dtype).reshape(-1)
+        else:
+            new_panels = L - pad_eye
+        ext = self._write_panels(ext, lb, new_panels)
+        return ext, prod
 
-    def _level_update(self, ext, origin_buckets, pair_buckets, prod_total):
-        """Outer products of the level's columns + block-pair assembly."""
-        if not origin_buckets:
-            return ext
-        parts = []
-        for ob in origin_buckets:
-            panels = self._gather_panels(ext, ob.off, ob.rows, ob.cols,
-                                         ob.rp, ob.cp)
-            prod = jnp.einsum("brk,bsk->brs", panels, panels,
-                              preferred_element_type=ext.dtype)
-            parts.append(prod.reshape(-1))
-        flat = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    def _apply_pairs(self, ext, flat, pair_buckets):
+        """Scatter-subtract all block pairs from the product buffer."""
         trash = ext.shape[0] - 2
         for pb in pair_buckets:
             r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, pb.csp), 1)
@@ -353,15 +339,26 @@ class PlannedBackend:
     # ------------------------------------------------------------------
     def make_factor(self, start_lump: int, end_lump: int):
         sched = self._factor_schedule(start_lump, end_lump)
-        dsize = self.plan.skel.data_size
+        sk = self.plan.skel
+        dsize = sk.data_size
+        mask = sk.padding_mask()
+        need_mask = bool(np.any(mask == 0))
+        mask_j = jnp.asarray(mask) if need_mask else None
 
         def factor(data):
+            if need_mask:  # padding must hold zeros (see block_matrix.py)
+                data = data * mask_j.astype(data.dtype)
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
-            for lump_buckets, origin_buckets, pair_buckets, ptot in sched:
+            for lump_buckets, pair_buckets, ptot in sched:
+                prods = []
                 for lb in lump_buckets:
-                    ext = self._factor_bucket(ext, lb)
-                ext = self._level_update(ext, origin_buckets, pair_buckets,
-                                         ptot)
+                    ext, prod = self._factor_bucket(ext, lb)
+                    if prod is not None:
+                        prods.append(prod)
+                if prods:
+                    flat = jnp.concatenate(prods) if len(prods) > 1 \
+                        else prods[0]
+                    ext = self._apply_pairs(ext, flat, pair_buckets)
             return ext[:dsize]
 
         return factor
@@ -369,29 +366,22 @@ class PlannedBackend:
     # -- solve ----------------------------------------------------------
     def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose):
         cp = sb.cp
-        diag = self._gather_panels(ext, sb.off, sb.cols, sb.cols, cp, cp)
-        L = diag + self._pad_eye(sb.cols, cp, ext.dtype)
+        panels = self._read_panels(ext, sb)
+        L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
+        below = panels[:, cp:] if sb.rp > 0 else None
         cols = jnp.asarray(sb.cols)
         xr = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
         xidx = jnp.where(xr < cols[:, None],
                          jnp.asarray(sb.vec_off)[:, None] + xr, order)
         x = vv[xidx]
-        if transpose and sb.rp > 0:
-            below = self._gather_panels(
-                ext, _i32(np.asarray(sb.off, np.int64) +
-                          np.asarray(sb.cols, np.int64) ** 2),
-                sb.rows, sb.cols, sb.rp, cp)
+        if transpose and below is not None:
             tmp = vv[jnp.asarray(sb.below_idx)]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
         x = jax.lax.linalg.triangular_solve(
             L, x, left_side=True, lower=True, transpose_a=transpose)
         vv = vv.at[xidx].set(x)
-        if not transpose and sb.rp > 0:
-            below = self._gather_panels(
-                ext, _i32(np.asarray(sb.off, np.int64) +
-                          np.asarray(sb.cols, np.int64) ** 2),
-                sb.rows, sb.cols, sb.rp, cp)
+        if not transpose and below is not None:
             y = jnp.einsum("brk,bkn->brn", below, x,
                            preferred_element_type=vv.dtype)
             vv = vv.at[jnp.asarray(sb.below_idx)].add(-y)
@@ -440,8 +430,8 @@ class PlannedBackend:
             oo = jnp.concatenate([out, jnp.zeros((1, nrhs), out.dtype)])
             for sb in buckets:
                 cp = sb.cp
-                diag = self._gather_panels(ext, sb.off, sb.cols, sb.cols,
-                                           cp, cp)
+                panels = self._read_panels(ext, sb)
+                diag = panels[:, :cp]
                 i_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 1)
                 j_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 2)
                 lower = jnp.where(i_ >= j_, diag, 0.0)
@@ -457,10 +447,7 @@ class PlannedBackend:
                     "bij,bjn->bin", sym, xl,
                     preferred_element_type=xx.dtype)
                 if sb.rp > 0:
-                    below = self._gather_panels(
-                        ext, _i32(np.asarray(sb.off, np.int64) +
-                                  np.asarray(sb.cols, np.int64) ** 2),
-                        sb.rows, sb.cols, sb.rp, cp)
+                    below = panels[:, cp:]
                     bidx = jnp.asarray(sb.below_idx)
                     oo = oo.at[bidx].add(alpha * jnp.einsum(
                         "brk,bkn->brn", below, xl,

@@ -2,21 +2,20 @@
 
 The analog of the reference's `BackendRef` (MatOpsRef.cpp) — the simplest
 correct implementation, used as the oracle backend and for small problems.
-Every lump/board offset in the symbolic plan is a Python int, so the
-factor/solve loops unroll at trace time into a static XLA graph: slices are
-`lax.slice`, block updates are matmuls, and assembly is `.at[idx].add`
-scatters with precomputed index constants (deterministic, unlike the
-reference's CUDA atomics). Batched operation is `jax.vmap` over a leading
-axis — one instruction stream, N data streams, exactly like the
-`T = vector<double*>` batched mode of the reference (Solver.cpp:459).
+Every panel offset in the symbolic plan is a Python int, so the
+factor/solve loops unroll at trace time into a static XLA graph: panel
+reads are `lax.dynamic_slice` + static sub-slices (stride-aware for the
+padded storage layout), block updates are matmuls, and assembly is
+`.at[idx].add` scatters with precomputed index constants (deterministic,
+unlike the reference's CUDA atomics). Batched operation is `jax.vmap`
+over a leading axis — one instruction stream, N data streams, exactly
+like the `T = vector<double*>` batched mode of the reference
+(Solver.cpp:459).
 
 All functions are dataflow-pure: they take and return the flat data vector.
 """
 
 from __future__ import annotations
-
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +43,24 @@ def _solve_lower_t(L, b):
                                            transpose_a=True)
 
 
+def _read(data, offset, rows, stride, cols):
+    """(rows, cols) block at flat offset with given row stride."""
+    blk = jax.lax.dynamic_slice_in_dim(
+        data, offset, rows * stride if rows else 0)
+    return blk.reshape(max(rows, 1), stride)[:rows, :cols] \
+        if rows else jnp.zeros((0, cols), data.dtype)
+
+
+def _write(data, offset, rows, stride, cols, vals):
+    """Write (rows, cols) into the strided region, preserving padding."""
+    if rows == 0:
+        return data
+    region = jax.lax.dynamic_slice_in_dim(data, offset, rows * stride)
+    region = region.reshape(rows, stride).at[:, :cols].set(vals)
+    return jax.lax.dynamic_update_slice_in_dim(
+        data, region.reshape(-1), offset, axis=0)
+
+
 class UnrolledBackend:
     """Builds jitted numeric functions from a NumericPlan by unrolling."""
 
@@ -54,31 +71,26 @@ class UnrolledBackend:
         self._cache = {}
 
     # -- helpers --------------------------------------------------------
-    def _col_panel(self, data, ld):
-        return jax.lax.dynamic_slice_in_dim(
-            data, ld.col_offset, ld.total_rows * ld.size
-        ).reshape(ld.total_rows, ld.size)
+    def _diag(self, data, ld):
+        return _read(data, ld.col_offset, ld.size, ld.stride, ld.size)
+
+    def _below(self, data, ld):
+        return _read(data, ld.below_offset, ld.below, ld.stride, ld.size)
 
     def _factor_lump(self, data, ld):
-        panel = self._col_panel(data, ld)
-        diag = panel[:ld.size]
-        L = _chol(diag)
-        if ld.total_rows > ld.size:
-            below = _trsm_right_lt(L, panel[ld.size:])
-            new_panel = jnp.concatenate([L, below], axis=0)
-        else:
-            new_panel = L
-        return jax.lax.dynamic_update_slice_in_dim(
-            data, new_panel.reshape(-1), ld.col_offset, axis=0)
+        L = _chol(self._diag(data, ld))
+        data = _write(data, ld.col_offset, ld.size, ld.stride, ld.size, L)
+        if ld.below > 0:
+            x = _trsm_right_lt(L, self._below(data, ld))
+            data = _write(data, ld.below_offset, ld.below, ld.stride,
+                          ld.size, x)
+        return data
 
     def _eliminate_board(self, data, b):
-        panel = jax.lax.dynamic_slice_in_dim(
-            data, b.src_offset, b.full_rows * b.width
-        ).reshape(b.full_rows, b.width)
-        sub = panel[:b.sub_rows]
-        prod = panel @ sub.T  # (full_rows, sub_rows)
-        idx = jnp.asarray(b.scatter_idx)
-        return data.at[idx].add(-prod)
+        panel = _read(data, b.src_offset, b.full_rows, b.src_stride,
+                      b.width)
+        prod = panel @ panel[:b.sub_rows].T  # (full_rows, sub_rows)
+        return data.at[jnp.asarray(b.scatter_idx)].add(-prod)
 
     # -- factor ---------------------------------------------------------
     def make_factor(self, start_lump: int, end_lump: int):
@@ -106,14 +118,13 @@ class UnrolledBackend:
             # v: (order, nrhs)
             for l in range(start_lump, end_lump):
                 ld = plan.lumps[l]
-                panel = self._col_panel(data, ld)
-                L = panel[:ld.size]
+                L = self._diag(data, ld)
                 x = jax.lax.dynamic_slice_in_dim(v, ld.vec_offset, ld.size)
                 x = _solve_lower(L, x)
                 v = jax.lax.dynamic_update_slice_in_dim(
                     v, x, ld.vec_offset, axis=0)
-                if ld.total_rows > ld.size:
-                    y = panel[ld.size:] @ x
+                if ld.below > 0:
+                    y = self._below(data, ld) @ x
                     v = v.at[jnp.asarray(ld.below_row_idx)].add(-y)
             return v
 
@@ -126,12 +137,11 @@ class UnrolledBackend:
         def solve_lt(data, v):
             for l in range(end_lump - 1, start_lump - 1, -1):
                 ld = plan.lumps[l]
-                panel = self._col_panel(data, ld)
-                L = panel[:ld.size]
+                L = self._diag(data, ld)
                 x = jax.lax.dynamic_slice_in_dim(v, ld.vec_offset, ld.size)
-                if ld.total_rows > ld.size:
+                if ld.below > 0:
                     tmp = v[jnp.asarray(ld.below_row_idx)]
-                    x = x - panel[ld.size:].T @ tmp
+                    x = x - self._below(data, ld).T @ tmp
                 x = _solve_lower_t(L, x)
                 v = jax.lax.dynamic_update_slice_in_dim(
                     v, x, ld.vec_offset, axis=0)
@@ -148,14 +158,13 @@ class UnrolledBackend:
             # out += alpha * M @ x over corner lumps >= start_lump
             for l in range(start_lump, num_lumps):
                 ld = plan.lumps[l]
-                panel = self._col_panel(data, ld)
-                diag = panel[:ld.size]
+                diag = self._diag(data, ld)
                 dl = jnp.tril(diag)
                 sym = dl + jnp.tril(diag, -1).T
                 xl = jax.lax.dynamic_slice_in_dim(x, ld.vec_offset, ld.size)
                 contrib = alpha * (sym @ xl)
-                if ld.total_rows > ld.size:
-                    below = panel[ld.size:]
+                if ld.below > 0:
+                    below = self._below(data, ld)
                     idx = jnp.asarray(ld.below_row_idx)
                     out = out.at[idx].add(alpha * (below @ xl))
                     contrib = contrib + alpha * (below.T @ x[idx])
@@ -171,23 +180,26 @@ class UnrolledBackend:
     # -- pseudo factor (per-span diagonal factorization) ----------------
     def make_pseudo_factor(self, start_span: int, end_span: int):
         plan = self.plan
+        # span sub-panels are strided: their last row's strided slice can
+        # overrun the panel by up to stride-1 elements; pad so the final
+        # panel's overrun stays in bounds (values there are untouched)
+        pad = max((sd.stride for sd in plan.spans), default=1)
+        n_data = plan.skel.data_size
 
         def pseudo_factor(data):
+            data = jnp.concatenate([data, jnp.zeros(pad, data.dtype)])
             for s in range(start_span, end_span):
                 sd = plan.spans[s]
                 n, c = sd.size, sd.stride
-                didx = sd.diag_offset + \
-                    np.arange(n)[:, None] * c + np.arange(n)[None, :]
-                diag = data[jnp.asarray(didx)]
+                diag = _read(data, sd.diag_offset, n, c, n)
                 L = _chol(diag)
-                data = data.at[jnp.asarray(didx)].set(L)
-                if sd.below_rows > 0:
-                    bidx = sd.below_offset + \
-                        np.arange(sd.below_rows)[:, None] * c + \
-                        np.arange(n)[None, :]
-                    below = data[jnp.asarray(bidx)]
-                    below = _trsm_right_lt(L, below)
-                    data = data.at[jnp.asarray(bidx)].set(below)
-            return data
+                data = _write(data, sd.diag_offset, n, c, n, L)
+                for off, rows in ((sd.below1_offset, sd.below1_rows),
+                                  (sd.below2_offset, sd.below2_rows)):
+                    if rows > 0:
+                        below = _read(data, off, rows, c, n)
+                        below = _trsm_right_lt(L, below)
+                        data = _write(data, off, rows, c, n, below)
+            return data[:n_data]
 
         return pseudo_factor

@@ -240,6 +240,67 @@ class Solver:
         return fn(data)
 
 
+def _level_shape_reorder(span_sizes, lump_to_span, col_start, row_param,
+                         segment_bounds, pad_fn):
+    """Reorder lumps to (segment, level, padded-shape) order.
+
+    Any lump order consistent with the update DAG (origins before targets)
+    is a valid elimination order with the same fill; sorting each segment
+    by level then padded panel shape makes every (level, shape) bucket a
+    CONTIGUOUS run of lumps — with the padded storage layout this turns
+    all batched panel addressing in the planned backend into plain
+    reshapes of contiguous slices (no gathers). Segments (sparse-elim
+    ranges, the middle, an elim-last tail) are preserved in place.
+
+    Returns (new_lump_order old-ids, span_old_to_new).
+    """
+    num_lumps = len(lump_to_span) - 1
+    num_spans = int(lump_to_span[-1])
+    counts = lump_to_span[1:] - lump_to_span[:-1]
+    span_to_lump = np.repeat(np.arange(num_lumps, dtype=np.int64), counts)
+
+    widths = np.add.reduceat(span_sizes, lump_to_span[:-1]) \
+        if num_spans else np.zeros(num_lumps, dtype=np.int64)
+    widths[counts == 0] = 0
+    rp_sizes = span_sizes[row_param]
+    col_rows = np.zeros(num_lumps, dtype=np.int64)
+    ne = col_start[1:] > col_start[:-1]
+    sums = np.concatenate([[0], np.cumsum(rp_sizes)])
+    col_rows = sums[col_start[1:]] - sums[col_start[:-1]]
+    below = col_rows - widths
+
+    levels = np.zeros(num_lumps, dtype=np.int64)
+    for l in range(num_lumps):
+        tls = span_to_lump[row_param[col_start[l]:col_start[l + 1]]]
+        tls = np.unique(tls[tls > l])
+        if len(tls):
+            np.maximum.at(levels, tls, levels[l] + 1)
+
+    seg = np.searchsorted(np.asarray(segment_bounds, dtype=np.int64),
+                          np.arange(num_lumps), side="right")
+    if pad_fn is not None:
+        prp, cp = pad_fn(below, widths)
+    else:
+        prp, cp = below, widths
+    order = np.lexsort((np.arange(num_lumps), cp, prp, levels, seg))
+
+    # span renumbering: spans follow their lumps, preserving in-lump order
+    new_span_order = np.concatenate(
+        [np.arange(lump_to_span[o], lump_to_span[o + 1]) for o in order]) \
+        if num_lumps else np.empty(0, np.int64)
+    span_old_to_new = inverse_permutation(new_span_order)
+    return order, span_old_to_new
+
+
+def _pad_fn_for(settings: "Settings"):
+    """Padded bucket storage for the planned (TPU) backend; the reference
+    backend keeps the packed layout."""
+    if settings.backend == BackendType.PLANNED:
+        from .ops.planned_backend import storage_pad
+        return storage_pad
+    return None
+
+
 def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
                   sparse_elim_ranges: Sequence[int] = (),
                   elim_last_ids: Sequence[int] = ()) -> Solver:
@@ -267,7 +328,8 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
         permutation = np.arange(n, dtype=np.int64)
         sst = ss.transpose()  # CSC columns of the lower half
         skel = CoalescedBlockMatrixSkel(span_start, lump_to_span,
-                                        sst.ptrs, sst.inds)
+                                        sst.ptrs, sst.inds,
+                                        pad_fn=_pad_fn_for(settings))
         cfut = 0 if settings.add_fill_policy == AddFillPolicy.NONE \
             else given_elim_end
         return Solver(skel, sparse_elim_ranges, permutation,
@@ -324,9 +386,6 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     assert len(full_col_start) == len(full_lump_to_span)
     assert len(full_row_param) == full_col_start[-1]
 
-    skel = CoalescedBlockMatrixSkel(full_span_start, full_lump_to_span,
-                                    full_col_start, full_row_param)
-
     full_ranges = list(sparse_elim_ranges)
     if et.sparse_elim_ranges:
         skip = 1 if sparse_elim_ranges else 0
@@ -335,6 +394,35 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     if len(full_ranges) == 1:
         full_ranges = []
     full_elim_end = full_ranges[-1] if full_ranges else 0
+
+    # reorder lumps to (segment, level, shape) so planned-backend buckets
+    # are contiguous in the padded storage (see _level_shape_reorder)
+    span_sizes = full_span_start[1:] - full_span_start[:-1]
+    segment_bounds = sorted(set(
+        list(full_ranges[1:]) +
+        ([len(param_sizes) - len(elim_last)] if elim_last else [])))
+    lump_order, span_old_to_new = _level_shape_reorder(
+        span_sizes, full_lump_to_span, full_col_start, full_row_param,
+        segment_bounds, _pad_fn_for(settings))
+    counts = (full_lump_to_span[1:] - full_lump_to_span[:-1])[lump_order]
+    new_lump_to_span = cum_sum_vec(counts)
+    new_span_sizes = np.empty_like(span_sizes)
+    new_span_sizes[span_old_to_new] = span_sizes
+    new_span_start = cum_sum_vec(new_span_sizes)
+    # permute columns, remap row ids, sort within columns
+    col_lens = (full_col_start[1:] - full_col_start[:-1])[lump_order]
+    new_col_start = cum_sum_vec(col_lens)
+    new_row_param = np.empty_like(full_row_param)
+    for k, o in enumerate(lump_order):
+        rows = span_old_to_new[
+            full_row_param[full_col_start[o]:full_col_start[o + 1]]]
+        rows.sort()
+        new_row_param[new_col_start[k]:new_col_start[k + 1]] = rows
+    full_inv_perm = span_old_to_new[full_inv_perm]
+
+    skel = CoalescedBlockMatrixSkel(new_span_start, new_lump_to_span,
+                                    new_col_start, new_row_param,
+                                    pad_fn=_pad_fn_for(settings))
 
     cfut = (full_elim_end
             if settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS
