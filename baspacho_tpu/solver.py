@@ -78,6 +78,32 @@ class Solver:
         else:
             self.backend = UnrolledBackend(self.plan)
         self._fns = {}
+        from .stats import SolverStats
+        self.stats = SolverStats()
+
+    # -- stats (reference Solver::enableStats/printStats/resetStats) ----
+    def enable_stats(self, enabled: bool = True):
+        self.stats.enable(enabled)
+
+    def reset_stats(self):
+        self.stats.reset()
+
+    def print_stats(self):
+        sk = self.skel
+        print(f"Matrix stats:\n  spans: {sk.num_spans}  lumps: "
+              f"{sk.num_lumps}  order: {sk.order}\n"
+              f"  data size: {sk.data_size}\n"
+              f"  levels: {getattr(self.backend, 'num_levels', 'n/a')}\n"
+              f"  sparse elim ranges: {self.sparse_elim_ranges}")
+        print(self.stats)
+
+    def _timed(self, stat, out):
+        if stat.enabled:
+            import jax
+            t0 = __import__("time").perf_counter()
+            jax.block_until_ready(out)
+            stat.record(__import__("time").perf_counter() - t0)
+        return out
 
     # -- introspection --------------------------------------------------
     @property
@@ -158,9 +184,9 @@ class Solver:
 
     def factor_up_to(self, data, span_index: int):
         assert span_index <= self.can_factor_up_to
-        return self._run_factor_like(
+        return self._timed(self.stats.factor, self._run_factor_like(
             "factor", self.backend.make_factor, data,
-            0, self._lump_of_span(span_index))
+            0, self._lump_of_span(span_index)))
 
     def factor_from(self, data, span_index: int):
         return self._run_factor_like(
@@ -170,10 +196,10 @@ class Solver:
     # -- solve ----------------------------------------------------------
     def solve(self, mat_data, rhs):
         n = self.skel.num_lumps
-        rhs = self._run_solve_like("solveL", self.backend.make_solve_l,
-                                   mat_data, rhs, 0, n)
-        return self._run_solve_like("solveLt", self.backend.make_solve_lt,
-                                    mat_data, rhs, 0, n)
+        rhs = self._timed(self.stats.solve_l, self._run_solve_like(
+            "solveL", self.backend.make_solve_l, mat_data, rhs, 0, n))
+        return self._timed(self.stats.solve_lt, self._run_solve_like(
+            "solveLt", self.backend.make_solve_lt, mat_data, rhs, 0, n))
 
     def solve_l(self, mat_data, rhs):
         return self.solve_l_up_to(mat_data, self.skel.num_spans, rhs)
