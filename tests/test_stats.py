@@ -33,7 +33,7 @@ def test_solver_stats_collect():
 
 
 def test_profile_and_fit():
-    solver, data = make(n=80, fill=0.03, seed=1)
+    solver, data = make(n=150, fill=0.03, seed=1)
     assert solver.skel.num_lumps > 1
     records = profile_factor(solver, data, reps=1)
     ops = {r[0] for r in records}
