@@ -318,21 +318,30 @@ class PlannedBackend:
         ext = self._write_panels(ext, lb, new_panels)
         return ext, prod
 
-    def _apply_pairs(self, ext, flat, pair_buckets):
-        """Scatter-subtract all block pairs from the product buffer."""
+    def _apply_pairs(self, ext, flat, pair_buckets, aux):
+        """Scatter-subtract all block pairs from the product buffer. The
+        (P,) descriptor arrays come in through `aux` (runtime operands, not
+        baked constants — large constants make lowering/compile slow on
+        remote-compile platforms)."""
         trash = ext.shape[0] - 2
         for pb in pair_buckets:
+            sb_, ss_, rs_, cs_, tb_, ts_ = aux[pb.aux_slot:pb.aux_slot + 6]
             r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, pb.csp), 1)
             c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, pb.csp), 2)
-            src = jnp.asarray(pb.src_base)[:, None, None] + \
-                r * jnp.asarray(pb.src_stride)[:, None, None] + c
+            src = sb_[:, None, None] + r * ss_[:, None, None] + c
             vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
-            mask = (r < jnp.asarray(pb.rs)[:, None, None]) & \
-                   (c < jnp.asarray(pb.cs)[:, None, None])
-            tgt = jnp.asarray(pb.tgt_base)[:, None, None] + \
-                r * jnp.asarray(pb.tgt_stride)[:, None, None] + c
+            mask = (r < rs_[:, None, None]) & (c < cs_[:, None, None])
+            tgt = tb_[:, None, None] + r * ts_[:, None, None] + c
             ext = ext.at[jnp.where(mask, tgt, trash)].add(-vals)
         return ext
+
+    @staticmethod
+    def _register_aux(sched_or_buckets, aux):
+        """Assign aux slots for pair buckets / below_idx arrays."""
+        for pb in sched_or_buckets:
+            pb.aux_slot = len(aux)
+            aux.extend([pb.src_base, pb.src_stride, pb.rs, pb.cs,
+                        pb.tgt_base, pb.tgt_stride])
 
     # ------------------------------------------------------------------
     # public builders (same interface as UnrolledBackend)
@@ -343,11 +352,17 @@ class PlannedBackend:
         dsize = sk.data_size
         mask = sk.padding_mask()
         need_mask = bool(np.any(mask == 0))
-        mask_j = jnp.asarray(mask) if need_mask else None
+        aux_np = []
+        mask_slot = None
+        if need_mask:
+            mask_slot = len(aux_np)
+            aux_np.append(mask)
+        for _, pair_buckets, _ in sched:
+            self._register_aux(pair_buckets, aux_np)
 
-        def factor(data):
+        def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
-                data = data * mask_j.astype(data.dtype)
+                data = data * aux[mask_slot].astype(data.dtype)
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
             for lump_buckets, pair_buckets, ptot in sched:
                 prods = []
@@ -358,13 +373,13 @@ class PlannedBackend:
                 if prods:
                     flat = jnp.concatenate(prods) if len(prods) > 1 \
                         else prods[0]
-                    ext = self._apply_pairs(ext, flat, pair_buckets)
+                    ext = self._apply_pairs(ext, flat, pair_buckets, aux)
             return ext[:dsize]
 
-        return factor
+        return factor, aux_np
 
     # -- solve ----------------------------------------------------------
-    def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose):
+    def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose, aux):
         cp = sb.cp
         panels = self._read_panels(ext, sb)
         L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
@@ -374,8 +389,9 @@ class PlannedBackend:
         xidx = jnp.where(xr < cols[:, None],
                          jnp.asarray(sb.vec_off)[:, None] + xr, order)
         x = vv[xidx]
+        bidx = aux[sb.aux_slot] if sb.rp > 0 else None
         if transpose and below is not None:
-            tmp = vv[jnp.asarray(sb.below_idx)]
+            tmp = vv[bidx]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
         x = jax.lax.linalg.triangular_solve(
@@ -384,36 +400,47 @@ class PlannedBackend:
         if not transpose and below is not None:
             y = jnp.einsum("brk,bkn->brn", below, x,
                            preferred_element_type=vv.dtype)
-            vv = vv.at[jnp.asarray(sb.below_idx)].add(-y)
+            vv = vv.at[bidx].add(-y)
         return vv
+
+    def _solve_aux(self, sched):
+        aux_np = []
+        for buckets in sched:
+            for sb in buckets:
+                if sb.rp > 0:
+                    sb.aux_slot = len(aux_np)
+                    aux_np.append(sb.below_idx)
+        return aux_np
 
     def make_solve_l(self, start_lump: int, end_lump: int):
         sched = self._solve_schedule(start_lump, end_lump)
         order = self.plan.skel.order
+        aux_np = self._solve_aux(sched)
 
-        def solve_l(data, v):
+        def solve_l(data, v, aux):
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
             vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
             for buckets in sched:
                 for sb in buckets:
-                    vv = self._diag_solve(ext, vv, sb, order, False)
+                    vv = self._diag_solve(ext, vv, sb, order, False, aux)
             return vv[:order]
 
-        return solve_l
+        return solve_l, aux_np
 
     def make_solve_lt(self, start_lump: int, end_lump: int):
         sched = self._solve_schedule(start_lump, end_lump)
         order = self.plan.skel.order
+        aux_np = self._solve_aux(sched)
 
-        def solve_lt(data, v):
+        def solve_lt(data, v, aux):
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
             vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
             for buckets in reversed(sched):
                 for sb in buckets:
-                    vv = self._diag_solve(ext, vv, sb, order, True)
+                    vv = self._diag_solve(ext, vv, sb, order, True, aux)
             return vv[:order]
 
-        return solve_lt
+        return solve_lt, aux_np
 
     # -- symmetric block mat-vec (fully parallel, no level deps) --------
     def make_add_mv(self, start_lump: int):
@@ -423,7 +450,13 @@ class PlannedBackend:
             [plan.lumps[l] for l in range(start_lump, plan.skel.num_lumps)],
             with_below_idx=True)
 
-        def add_mv(data, x, out, alpha):
+        aux_np = []
+        for sb in buckets:
+            if sb.rp > 0:
+                sb.aux_slot = len(aux_np)
+                aux_np.append(sb.below_idx)
+
+        def add_mv(data, x, out, alpha, aux):
             nrhs = x.shape[1]
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
             xx = jnp.concatenate([x, jnp.zeros((1, nrhs), x.dtype)])
@@ -448,7 +481,7 @@ class PlannedBackend:
                     preferred_element_type=xx.dtype)
                 if sb.rp > 0:
                     below = panels[:, cp:]
-                    bidx = jnp.asarray(sb.below_idx)
+                    bidx = aux[sb.aux_slot]
                     oo = oo.at[bidx].add(alpha * jnp.einsum(
                         "brk,bkn->brn", below, xl,
                         preferred_element_type=xx.dtype))
@@ -458,7 +491,7 @@ class PlannedBackend:
                 oo = oo.at[xidx].add(contrib)
             return oo[:order]
 
-        return add_mv
+        return add_mv, aux_np
 
     def make_pseudo_factor(self, start_span: int, end_span: int):
         # per-span strided panels; cold path (Gauss-Seidel precond setup),

@@ -86,36 +86,50 @@ class UnrolledBackend:
                           ld.size, x)
         return data
 
-    def _eliminate_board(self, data, b):
+    def _eliminate_board(self, data, b, scatter_idx):
         panel = _read(data, b.src_offset, b.full_rows, b.src_stride,
                       b.width)
         prod = panel @ panel[:b.sub_rows].T  # (full_rows, sub_rows)
-        return data.at[jnp.asarray(b.scatter_idx)].add(-prod)
+        return data.at[scatter_idx].add(-prod)
 
     # -- factor ---------------------------------------------------------
     def make_factor(self, start_lump: int, end_lump: int):
         plan = self.plan
         num_lumps = plan.skel.num_lumps
+        # aux arrays follow the exact traversal order of the factor loop,
+        # consumed by a cursor at trace time (avoids stamping shared
+        # descriptors, which would clash across (start, end) ranges)
+        aux_np = [b.scatter_idx
+                  for l in range(start_lump, num_lumps)
+                  for b in plan.lumps[l].boards
+                  if start_lump <= b.origin_lump < end_lump]
 
-        def factor(data):
+        def factor(data, aux):
             data = jnp.concatenate([data, jnp.zeros(1, data.dtype)])
+            k = 0
             for l in range(start_lump, num_lumps):
                 ld = plan.lumps[l]
                 for b in ld.boards:
                     if start_lump <= b.origin_lump < end_lump:
-                        data = self._eliminate_board(data, b)
+                        data = self._eliminate_board(data, b, aux[k])
+                        k += 1
                 if l < end_lump:
                     data = self._factor_lump(data, ld)
             return data[:-1]
 
-        return factor
+        return factor, aux_np
 
     # -- solve in L -----------------------------------------------------
     def make_solve_l(self, start_lump: int, end_lump: int):
         plan = self.plan
 
-        def solve_l(data, v):
+        aux_np = [plan.lumps[l].below_row_idx
+                  for l in range(start_lump, end_lump)
+                  if plan.lumps[l].below > 0]
+
+        def solve_l(data, v, aux):
             # v: (order, nrhs)
+            k = 0
             for l in range(start_lump, end_lump):
                 ld = plan.lumps[l]
                 L = self._diag(data, ld)
@@ -125,37 +139,49 @@ class UnrolledBackend:
                     v, x, ld.vec_offset, axis=0)
                 if ld.below > 0:
                     y = self._below(data, ld) @ x
-                    v = v.at[jnp.asarray(ld.below_row_idx)].add(-y)
+                    v = v.at[aux[k]].add(-y)
+                    k += 1
             return v
 
-        return solve_l
+        return solve_l, aux_np
 
     # -- solve in L^T ---------------------------------------------------
     def make_solve_lt(self, start_lump: int, end_lump: int):
         plan = self.plan
 
-        def solve_lt(data, v):
+        aux_np = [plan.lumps[l].below_row_idx
+                  for l in range(end_lump - 1, start_lump - 1, -1)
+                  if plan.lumps[l].below > 0]
+
+        def solve_lt(data, v, aux):
+            k = 0
             for l in range(end_lump - 1, start_lump - 1, -1):
                 ld = plan.lumps[l]
                 L = self._diag(data, ld)
                 x = jax.lax.dynamic_slice_in_dim(v, ld.vec_offset, ld.size)
                 if ld.below > 0:
-                    tmp = v[jnp.asarray(ld.below_row_idx)]
+                    tmp = v[aux[k]]
                     x = x - self._below(data, ld).T @ tmp
+                    k += 1
                 x = _solve_lower_t(L, x)
                 v = jax.lax.dynamic_update_slice_in_dim(
                     v, x, ld.vec_offset, axis=0)
             return v
 
-        return solve_lt
+        return solve_lt, aux_np
 
     # -- symmetric block mat-vec (bottom-right corner) ------------------
     def make_add_mv(self, start_lump: int):
         plan = self.plan
         num_lumps = plan.skel.num_lumps
 
-        def add_mv(data, x, out, alpha):
+        aux_np = [plan.lumps[l].below_row_idx
+                  for l in range(start_lump, num_lumps)
+                  if plan.lumps[l].below > 0]
+
+        def add_mv(data, x, out, alpha, aux):
             # out += alpha * M @ x over corner lumps >= start_lump
+            k = 0
             for l in range(start_lump, num_lumps):
                 ld = plan.lumps[l]
                 diag = self._diag(data, ld)
@@ -165,7 +191,8 @@ class UnrolledBackend:
                 contrib = alpha * (sym @ xl)
                 if ld.below > 0:
                     below = self._below(data, ld)
-                    idx = jnp.asarray(ld.below_row_idx)
+                    idx = aux[k]
+                    k += 1
                     out = out.at[idx].add(alpha * (below @ xl))
                     contrib = contrib + alpha * (below.T @ x[idx])
                 out = jax.lax.dynamic_update_slice_in_dim(
@@ -175,7 +202,7 @@ class UnrolledBackend:
                     ld.vec_offset, axis=0)
             return out
 
-        return add_mv
+        return add_mv, aux_np
 
     # -- pseudo factor (per-span diagonal factorization) ----------------
     def make_pseudo_factor(self, start_span: int, end_span: int):
@@ -186,7 +213,7 @@ class UnrolledBackend:
         pad = max((sd.stride for sd in plan.spans), default=1)
         n_data = plan.skel.data_size
 
-        def pseudo_factor(data):
+        def pseudo_factor(data, aux):
             data = jnp.concatenate([data, jnp.zeros(pad, data.dtype)])
             for s in range(start_span, end_span):
                 sd = plan.spans[s]
@@ -202,4 +229,4 @@ class UnrolledBackend:
                         data = _write(data, off, rows, c, n, below)
             return data[:n_data]
 
-        return pseudo_factor
+        return pseudo_factor, []

@@ -135,30 +135,31 @@ class Solver:
         assert self.skel.span_offset_in_lump[span_index] == 0
         return int(self.skel.span_to_lump[span_index])
 
-    def _get(self, key, builder):
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = jax.jit(builder())
-            self._fns[key] = fn
-        return fn
-
-    def _batched(self, key, builder, in_axes):
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = jax.jit(jax.vmap(builder(), in_axes=in_axes))
-            self._fns[key] = fn
-        return fn
+    def _get(self, key, builder, vmap_axes=None):
+        """Build + jit a backend function. Builders return (fn, aux) where
+        `aux` is a list of large plan index arrays passed as runtime
+        operands — embedding them as constants makes XLA lowering and
+        (remote) compilation pathologically slow."""
+        entry = self._fns.get(key)
+        if entry is None:
+            fn, aux = builder()
+            aux = tuple(jnp.asarray(a) for a in aux)
+            if vmap_axes is not None:
+                fn = jax.vmap(fn, in_axes=(*vmap_axes, None))
+            entry = (jax.jit(fn), aux)
+            self._fns[key] = entry
+        return entry
 
     def _run_factor_like(self, op: str, make, data, start_l: int, end_l: int):
         data = jnp.asarray(data)
         if data.ndim == 1:
-            fn = self._get((op, start_l, end_l, 1),
-                           lambda: make(start_l, end_l))
-            return fn(data)
+            fn, aux = self._get((op, start_l, end_l, 1),
+                                lambda: make(start_l, end_l))
+            return fn(data, aux)
         assert data.ndim == 2, "data must be (dataSize,) or (batch, dataSize)"
-        fn = self._batched((op, start_l, end_l, 2),
-                           lambda: make(start_l, end_l), (0,))
-        return fn(data)
+        fn, aux = self._get((op, start_l, end_l, 2),
+                            lambda: make(start_l, end_l), vmap_axes=(0,))
+        return fn(data, aux)
 
     def _run_solve_like(self, op: str, make, data, v, start_l: int,
                         end_l: int):
@@ -169,13 +170,14 @@ class Solver:
         if vec1d:
             v = v[..., None]
         if not batched:
-            fn = self._get((op, start_l, end_l, 1),
-                           lambda: make(start_l, end_l))
-            out = fn(data, v)
+            fn, aux = self._get((op, start_l, end_l, 1),
+                                lambda: make(start_l, end_l))
+            out = fn(data, v, aux)
         else:
-            fn = self._batched((op, start_l, end_l, 2),
-                               lambda: make(start_l, end_l), (0, 0))
-            out = fn(data, v)
+            fn, aux = self._get((op, start_l, end_l, 2),
+                                lambda: make(start_l, end_l),
+                                vmap_axes=(0, 0))
+            out = fn(data, v, aux)
         return out[..., 0] if vec1d else out
 
     # -- factor ---------------------------------------------------------
@@ -242,28 +244,28 @@ class Solver:
             x, out = x[..., None], out[..., None]
         alpha = jnp.asarray(alpha, mat_data.dtype)
         if not batched:
-            fn = self._get(("addMv", start_l, 1),
-                           lambda: self.backend.make_add_mv(start_l))
-            res = fn(mat_data, x, out, alpha)
+            fn, aux = self._get(("addMv", start_l, 1),
+                                lambda: self.backend.make_add_mv(start_l))
+            res = fn(mat_data, x, out, alpha, aux)
         else:
-            fn = self._batched(("addMv", start_l, 2),
-                               lambda: self.backend.make_add_mv(start_l),
-                               (0, 0, 0, None))
-            res = fn(mat_data, x, out, alpha)
+            fn, aux = self._get(("addMv", start_l, 2),
+                                lambda: self.backend.make_add_mv(start_l),
+                                vmap_axes=(0, 0, 0, None))
+            res = fn(mat_data, x, out, alpha, aux)
         return res[..., 0] if vec1d else res
 
     def pseudo_factor_from(self, data, span_index: int):
         data = jnp.asarray(data)
         n = self.skel.num_spans
         if data.ndim == 1:
-            fn = self._get(("pseudo", span_index, 1),
-                           lambda: self.backend.make_pseudo_factor(
-                               span_index, n))
-            return fn(data)
-        fn = self._batched(("pseudo", span_index, 2),
-                           lambda: self.backend.make_pseudo_factor(
-                               span_index, n), (0,))
-        return fn(data)
+            fn, aux = self._get(("pseudo", span_index, 1),
+                                lambda: self.backend.make_pseudo_factor(
+                                    span_index, n))
+            return fn(data, aux)
+        fn, aux = self._get(("pseudo", span_index, 2),
+                            lambda: self.backend.make_pseudo_factor(
+                                span_index, n), vmap_axes=(0,))
+        return fn(data, aux)
 
 
 def _level_shape_reorder(span_sizes, lump_to_span, col_start, row_param,

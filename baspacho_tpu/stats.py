@@ -62,6 +62,10 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
 
     be = solver.backend
     sched = be._factor_schedule(0, solver.skel.num_lumps)
+    aux_all = []
+    for _, pair_buckets, _ in sched:
+        be._register_aux(pair_buckets, aux_all)
+    aux_all = tuple(jnp.asarray(a) for a in aux_all)
     ext = jnp.concatenate([jnp.asarray(data),
                            jnp.zeros(2, jnp.asarray(data).dtype)])
     records = []
@@ -116,7 +120,7 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
                       for pb in pair_buckets)
 
             def asmbl_op(e, f):
-                return be._apply_pairs(e, f, pair_buckets)
+                return be._apply_pairs(e, f, pair_buckets, aux_all)
 
             ext2, t = timed(jax.jit(asmbl_op), ext, flat)
             records.append(("asmbl", npairs, nel, 0, t))
@@ -129,7 +133,7 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
         if level_prods:
             flat = jnp.concatenate(level_prods) if len(level_prods) > 1 \
                 else level_prods[0]
-            ext = be._apply_pairs(ext, flat, pair_buckets)
+            ext = be._apply_pairs(ext, flat, pair_buckets, aux_all)
         ext = jax.block_until_ready(ext)
     return records
 
