@@ -33,11 +33,11 @@ from .utils import cum_sum_vec
 MAX_SPARSE_ELIM_NODE_SIZE = 12
 MIN_NUM_SPARSE_ELIM_NODES = 50
 
-# Merged supernodes are capped: XLA's cholesky/triangular_solve compile
-# poorly above ~1k and the level-scheduled backend prefers several
-# same-shape panels (batching) over one giant one. The custom Pallas
-# kernels lift this in the tiled backend.
-MAX_SUPERNODE_SIZE = 512
+# Cap on merged supernode width. Wide supernodes are handled by the
+# planned backend's blocked in-graph factorization (256-panel
+# potrf/trsm/syrk loop), so the cap is generous — it only bounds the
+# worst-case O(w^2) panel memory of a single column.
+MAX_SUPERNODE_SIZE = 4096
 
 
 class EliminationTree:

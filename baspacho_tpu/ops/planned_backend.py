@@ -148,15 +148,29 @@ class PlannedBackend:
         key = (start, end)
         sched = self._sched_cache.get(key)
         if sched is None:
-            sched = [self._build_level(lds) for lds in
-                     self._by_level(start, end)]
+            sched = [self._build_level(lds, with_below_idx=True)
+                     for lds in self._by_level(start, end)]
             self._sched_cache[key] = sched
         return sched
 
+    # dense-update heuristics: a level whose columns scatter into many
+    # small fragments is cheaper as one dense U = W W^T GEMM + contiguous
+    # slice subtractions (requires a moderate matrix order)
+    DENSE_MIN_ORIGINS = 2
+    DENSE_MAX_ORDER = 16384
+    WINDOW_MAX_STRIDE = 256  # wider targets use elementwise block scatter
+
     def _build_level(self, lds, with_below_idx=False):
         """Bucket the level's lumps; assign product-buffer offsets to
-        buckets with below rows; enumerate assembly block pairs."""
+        buckets with below rows; enumerate assembly block pairs (or mark
+        the level for the dense W W^T update path)."""
         lump_buckets = self._bucket_lumps(lds, with_below_idx)
+        n_origins = sum(1 for ld in lds if ld.total_rows > ld.size)
+        dense = (n_origins >= self.DENSE_MIN_ORIGINS and
+                 self.plan.skel.order <= self.DENSE_MAX_ORDER)
+        if dense:
+            dense_info = self._build_dense_update(lds, lump_buckets)
+            return lump_buckets, [], 0, dense_info
         prod_total = 0
         origin_pos: Dict[int, Tuple[int, int]] = {}
         for lb in lump_buckets:
@@ -167,7 +181,60 @@ class PlannedBackend:
                 origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
             prod_total += len(lb.off) * lb.rp * lb.rp
         pair_buckets = self._build_pairs(lds, origin_pos)
-        return lump_buckets, pair_buckets, prod_total
+        return lump_buckets, pair_buckets, prod_total, None
+
+    def _build_dense_update(self, lds, lump_buckets):
+        """Plan the dense update: W is (order+1, level_width) assembling
+        every level column's below panel at its global row positions
+        (trash row absorbs padding); U = W W^T holds exactly the sum of
+        this level's block-pair updates (nonzero only at positions the
+        fill guarantees exist). Targets receive U via contiguous
+        chain-run slice subtractions."""
+        sk = self.plan.skel
+        span_size = sk.span_start[1:] - sk.span_start[:-1]
+        # column base of each origin inside W, per lump bucket member
+        colbases = {}
+        width = 0
+        for bi, lb in enumerate(lump_buckets):
+            if lb.rp == 0:
+                continue
+            bases = []
+            for _ in lb.members:
+                bases.append(width)
+                width += lb.cp
+            colbases[bi] = _i32(bases)
+        # affected target chain-runs: union over level columns' below spans
+        touched = set()
+        for ld in lds:
+            o = ld.index
+            cs_, ce_ = int(sk.chain_col_ptr[o]), int(sk.chain_col_ptr[o + 1])
+            nd = int(sk.lump_to_span[o + 1] - sk.lump_to_span[o])
+            touched.update(sk.chain_row_span[cs_ + nd:ce_].tolist())
+        touched_lumps = sorted({int(sk.span_to_lump[s]) for s in touched})
+        # per target lump: contiguous chain runs (present spans only),
+        # subtracted as (panel rows x width) strided slices
+        slices = []  # (panel_off, rows, stride, width, gr0, gc0)
+        for t in touched_lumps:
+            tcs, tce = int(sk.chain_col_ptr[t]), int(sk.chain_col_ptr[t + 1])
+            spans = sk.chain_row_span[tcs:tce]
+            keep = np.isin(spans, list(touched))
+            wt = int(sk.lump_start[t + 1] - sk.lump_start[t])
+            gc0 = int(sk.lump_start[t])
+            st = int(sk.col_stride[t])
+            ci = 0
+            while ci < len(spans):
+                if not keep[ci]:
+                    ci += 1
+                    continue
+                cj = ci
+                while cj + 1 < len(spans) and keep[cj + 1] and \
+                        spans[cj + 1] == spans[cj] + 1:
+                    cj += 1
+                rs = int(np.sum(span_size[spans[ci:cj + 1]]))
+                slices.append((int(sk.chain_data[tcs + ci]), rs, st, wt,
+                               int(sk.span_start[spans[ci]]), gc0))
+                ci = cj + 1
+        return {"width": width, "colbases": colbases, "slices": slices}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -289,11 +356,14 @@ class PlannedBackend:
         out = []
         for bi in range(len(bounds) - 1):
             sel = order[bounds[bi]:bounds[bi + 1]]
-            out.append(PairBucket(
+            pb = PairBucket(
                 rsp=int(rsp[sel[0]]), stride=int(stride[sel[0]]),
                 src_base=_i32(src[sel]), src_stride=_i32(sstride[sel]),
                 rs=_i32(rs[sel]), cs=_i32(cls[sel]), c0=_i32(c0[sel]),
-                tgt_row_start=_i32(trs[sel])))
+                tgt_row_start=_i32(trs[sel]))
+            pb.csp = int(_pad_pow2(np.array([cls[sel].max()]),
+                                   PAD_COLS)[0])
+            out.append(pb)
         return out
 
     def _solve_schedule(self, start: int, end: int) -> List[List[LumpBucket]]:
@@ -309,18 +379,22 @@ class PlannedBackend:
     # jit-graph building blocks
     # ------------------------------------------------------------------
     def _read_panels(self, ext, lb: LumpBucket):
-        """(B, cp+rp, cp) panel tensor: contiguous reshape when the
-        storage layout is level-ordered, affine gather otherwise."""
+        """(B, cp+rp, cp) panel tensor. Contiguous buckets are one
+        reshape of a slice; otherwise one whole-panel gather WINDOW per
+        lump (panels are contiguous in the padded storage, so this runs
+        at DMA bandwidth rather than per-element gather speed)."""
         B = len(lb.off)
         h = lb.cp + lb.rp
         if lb.contiguous:
             flat = jax.lax.dynamic_slice_in_dim(
                 ext, int(lb.off[0]), B * h * lb.cp)
             return flat.reshape(B, h, lb.cp)
-        off = jnp.asarray(lb.off)
-        r = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 1)
-        c = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 2)
-        return ext[off[:, None, None] + r * lb.cp + c]
+        gnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        flat = jax.lax.gather(ext, jnp.asarray(lb.off)[:, None], gnums,
+                              slice_sizes=(h * lb.cp,))
+        return flat.reshape(B, h, lb.cp)
 
     def _write_panels(self, ext, lb: LumpBucket, panels):
         B = len(lb.off)
@@ -328,10 +402,13 @@ class PlannedBackend:
         if lb.contiguous:
             return jax.lax.dynamic_update_slice_in_dim(
                 ext, panels.reshape(-1), int(lb.off[0]), axis=0)
-        off = jnp.asarray(lb.off)
-        r = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 1)
-        c = jax.lax.broadcasted_iota(jnp.int32, (1, h, lb.cp), 2)
-        return ext.at[off[:, None, None] + r * lb.cp + c].set(panels)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        return jax.lax.scatter(ext, jnp.asarray(lb.off)[:, None],
+                               panels.reshape(B, h * lb.cp), dnums,
+                               indices_are_sorted=True,
+                               unique_indices=True)
 
     @staticmethod
     def _pad_eye(cols, cp, dtype):
@@ -340,24 +417,67 @@ class PlannedBackend:
         return ((i_ == j_) &
                 (i_ >= jnp.asarray(cols)[:, None, None])).astype(dtype)
 
-    def _factor_bucket(self, ext, lb: LumpBucket):
-        """Batched potrf + trsm of one bucket; returns (ext, flat_prod)."""
+    BLOCK = 256  # panel width for the blocked big-lump factorization
+
+    def _blocked_factor(self, diag, below, dtype):
+        """Blocked right-looking Cholesky of a batched (B, cp, cp) diag
+        with trailing (B, rp, cp) trsm — XLA's native cholesky compiles
+        poorly above ~1k, so wide supernodes run as an in-graph loop of
+        256-panel potrf/trsm/syrk steps (all matmuls on the MXU)."""
+        cp = diag.shape[1]
+        nb = self.BLOCK
+        for k in range(0, cp, nb):
+            w = min(nb, cp - k)
+            dk = diag[:, k:k + w, k:k + w]
+            Lk = jax.lax.linalg.cholesky(dk, symmetrize_input=False)
+            diag = diag.at[:, k:k + w, k:k + w].set(Lk)
+            if k + w < cp:
+                pan = jax.lax.linalg.triangular_solve(
+                    Lk, diag[:, k + w:, k:k + w], left_side=False,
+                    lower=True, transpose_a=True)
+                diag = diag.at[:, k + w:, k:k + w].set(pan)
+                upd = jnp.einsum("brk,bsk->brs", pan, pan,
+                                 preferred_element_type=dtype)
+                diag = diag.at[:, k + w:, k + w:].add(-upd)
+            if below is not None:
+                bpan = jax.lax.linalg.triangular_solve(
+                    Lk, below[:, :, k:k + w], left_side=False,
+                    lower=True, transpose_a=True)
+                below = below.at[:, :, k:k + w].set(bpan)
+                if k + w < cp:
+                    upd = jnp.einsum("brk,bsk->brs", bpan,
+                                     diag[:, k + w:, k:k + w],
+                                     preferred_element_type=dtype)
+                    below = below.at[:, :, k + w:].add(-upd)
+        return diag, below
+
+    def _factor_bucket(self, ext, lb: LumpBucket, want_below=False):
+        """Batched potrf + trsm of one bucket; returns (ext, flat_prod) or
+        (ext, below_x) when want_below (dense update path)."""
         panels = self._read_panels(ext, lb)
         pad_eye = self._pad_eye(lb.cols, lb.cp, ext.dtype)
-        L = jax.lax.linalg.cholesky(panels[:, :lb.cp] + pad_eye,
-                                    symmetrize_input=False)
+        diag_in = panels[:, :lb.cp] + pad_eye
+        below_in = panels[:, lb.cp:] if lb.rp > 0 else None
+        if lb.cp <= self.BLOCK:
+            L = jax.lax.linalg.cholesky(diag_in, symmetrize_input=False)
+            x = None
+            if below_in is not None:
+                x = jax.lax.linalg.triangular_solve(
+                    L, below_in, left_side=False, lower=True,
+                    transpose_a=True)
+        else:
+            L, x = self._blocked_factor(diag_in, below_in, ext.dtype)
         prod = None
-        if lb.rp > 0:
-            x = jax.lax.linalg.triangular_solve(
-                L, panels[:, lb.cp:], left_side=False, lower=True,
-                transpose_a=True)
+        if x is not None:
             new_panels = jnp.concatenate([L - pad_eye, x], axis=1)
-            prod = jnp.einsum("brk,bsk->brs", x, x,
-                              preferred_element_type=ext.dtype).reshape(-1)
+            if not want_below:
+                prod = jnp.einsum(
+                    "brk,bsk->brs", x, x,
+                    preferred_element_type=ext.dtype).reshape(-1)
         else:
             new_panels = L - pad_eye
         ext = self._write_panels(ext, lb, new_panels)
-        return ext, prod
+        return ext, (x if want_below else prod)
 
     def _apply_pairs(self, ext, flat, pair_buckets, aux):
         """Subtract all run blocks from the product buffer into the factor
@@ -368,22 +488,38 @@ class PlannedBackend:
         and fast). Descriptor arrays arrive via `aux` (runtime operands)."""
         for pb in pair_buckets:
             sb_, ss_, rs_, cs_, c0_, tr_ = aux[pb.aux_slot:pb.aux_slot + 6]
-            w = pb.stride
-            r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 1)
-            c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 2)
-            src = sb_[:, None, None] + r * ss_[:, None, None] + \
-                (c - c0_[:, None, None])
-            vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
-            mask = (r < rs_[:, None, None]) & \
-                (c >= c0_[:, None, None]) & \
-                (c < (c0_ + cs_)[:, None, None])
-            upd = jnp.where(mask, -vals, 0.0).reshape(len(pb.rs), -1)
-            dnums = jax.lax.ScatterDimensionNumbers(
-                update_window_dims=(1,), inserted_window_dims=(),
-                scatter_dims_to_operand_dims=(0,))
-            ext = jax.lax.scatter_add(ext, tr_[:, None], upd, dnums,
-                                      unique_indices=False,
-                                      indices_are_sorted=False)
+            if pb.stride <= self.WINDOW_MAX_STRIDE:
+                # whole-window adds: (rsp x stride) contiguous rows
+                w = pb.stride
+                r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 1)
+                c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 2)
+                src = sb_[:, None, None] + r * ss_[:, None, None] + \
+                    (c - c0_[:, None, None])
+                vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
+                mask = (r < rs_[:, None, None]) & \
+                    (c >= c0_[:, None, None]) & \
+                    (c < (c0_ + cs_)[:, None, None])
+                upd = jnp.where(mask, -vals, 0.0).reshape(len(pb.rs), -1)
+                dnums = jax.lax.ScatterDimensionNumbers(
+                    update_window_dims=(1,), inserted_window_dims=(),
+                    scatter_dims_to_operand_dims=(0,))
+                ext = jax.lax.scatter_add(ext, tr_[:, None], upd, dnums,
+                                          unique_indices=False,
+                                          indices_are_sorted=False)
+            else:
+                # wide target panels: elementwise block scatter over the
+                # actual (rs x cs) rectangles (window padding to a wide
+                # stride would materialize huge update tensors)
+                csp = pb.csp
+                r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 1)
+                c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 2)
+                src = sb_[:, None, None] + r * ss_[:, None, None] + c
+                vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
+                mask = (r < rs_[:, None, None]) & (c < cs_[:, None, None])
+                tgt = tr_[:, None, None] + c0_[:, None, None] + \
+                    r * pb.stride + c
+                trash = ext.shape[0] - 2
+                ext = ext.at[jnp.where(mask, tgt, trash)].add(-vals)
         return ext
 
     @staticmethod
@@ -409,10 +545,19 @@ class PlannedBackend:
             mask_slot = len(aux_np)
             aux_np.append(mask)
         max_win = 2
-        for _, pair_buckets, _ in sched:
+        order = sk.order
+        for lump_buckets, pair_buckets, _, dense in sched:
             self._register_aux(pair_buckets, aux_np)
             for pb in pair_buckets:
                 max_win = max(max_win, pb.rsp * pb.stride)
+            if dense is not None:
+                dense["slots"] = {}
+                for bi, lb in enumerate(lump_buckets):
+                    if lb.rp == 0:
+                        continue
+                    dense["slots"][bi] = len(aux_np)
+                    aux_np.append(lb.below_idx)
+                    aux_np.append(dense["colbases"][bi])
 
         def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
@@ -420,7 +565,32 @@ class PlannedBackend:
             # tail padding also absorbs window-scatter overruns (padded
             # run rows) so XLA's index clamping never shifts a window
             ext = jnp.concatenate([data, jnp.zeros(max_win, data.dtype)])
-            for lump_buckets, pair_buckets, ptot in sched:
+            for lump_buckets, pair_buckets, ptot, dense in sched:
+                if dense is not None:
+                    # factor the level, assembling a dense W of all below
+                    # panels; apply the whole level's update as U = W W^T
+                    # with contiguous slice subtractions
+                    W = jnp.zeros((order + 1, dense["width"]), ext.dtype)
+                    for bi, lb in enumerate(lump_buckets):
+                        ext, x = self._factor_bucket(ext, lb,
+                                                     want_below=True)
+                        if x is None:
+                            continue
+                        slot = dense["slots"][bi]
+                        bidx, colbase = aux[slot], aux[slot + 1]
+                        ci = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, 1, lb.cp), 2)
+                        W = W.at[bidx[:, :, None],
+                                 colbase[:, None, None] + ci].set(x)
+                    U = W[:order] @ W[:order].T
+                    for off, rows, st, wt, gr0, gc0 in dense["slices"]:
+                        region = jax.lax.dynamic_slice_in_dim(
+                            ext, off, rows * st).reshape(rows, st)
+                        region = region.at[:, :wt].add(
+                            -U[gr0:gr0 + rows, gc0:gc0 + wt])
+                        ext = jax.lax.dynamic_update_slice_in_dim(
+                            ext, region.reshape(-1), off, axis=0)
+                    continue
                 prods = []
                 for lb in lump_buckets:
                     ext, prod = self._factor_bucket(ext, lb)

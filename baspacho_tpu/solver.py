@@ -54,6 +54,11 @@ class Settings:
     backend: BackendType = BackendType.REF
     add_fill_policy: AddFillPolicy = AddFillPolicy.COMPLETE
     computation_model: Optional[ComputationModel] = None
+    # reorder lumps to (segment, level, shape) so batched buckets become
+    # contiguous slices. Off by default: it renumbers spans level-major,
+    # which fragments the consecutive-span runs that make the assembly's
+    # window scatters coarse — a net loss except on very deep trees.
+    level_reorder: bool = False
 
 
 class Solver:
@@ -423,33 +428,37 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
         full_ranges = []
     full_elim_end = full_ranges[-1] if full_ranges else 0
 
-    # reorder lumps to (segment, level, shape) so planned-backend buckets
-    # are contiguous in the padded storage (see _level_shape_reorder)
-    span_sizes = full_span_start[1:] - full_span_start[:-1]
-    segment_bounds = sorted(set(
-        list(full_ranges[1:]) +
-        ([len(param_sizes) - len(elim_last)] if elim_last else [])))
-    lump_order, span_old_to_new = _level_shape_reorder(
-        span_sizes, full_lump_to_span, full_col_start, full_row_param,
-        segment_bounds, _pad_fn_for(settings))
-    counts = (full_lump_to_span[1:] - full_lump_to_span[:-1])[lump_order]
-    new_lump_to_span = cum_sum_vec(counts)
-    new_span_sizes = np.empty_like(span_sizes)
-    new_span_sizes[span_old_to_new] = span_sizes
-    new_span_start = cum_sum_vec(new_span_sizes)
-    # permute columns, remap row ids, sort within columns
-    col_lens = (full_col_start[1:] - full_col_start[:-1])[lump_order]
-    new_col_start = cum_sum_vec(col_lens)
-    new_row_param = np.empty_like(full_row_param)
-    for k, o in enumerate(lump_order):
-        rows = span_old_to_new[
-            full_row_param[full_col_start[o]:full_col_start[o + 1]]]
-        rows.sort()
-        new_row_param[new_col_start[k]:new_col_start[k + 1]] = rows
-    full_inv_perm = span_old_to_new[full_inv_perm]
+    if settings.level_reorder:
+        # optional: reorder lumps to (segment, level, shape) so
+        # planned-backend buckets become contiguous storage slices
+        span_sizes = full_span_start[1:] - full_span_start[:-1]
+        segment_bounds = sorted(set(
+            list(full_ranges[1:]) +
+            ([len(param_sizes) - len(elim_last)] if elim_last else [])))
+        lump_order, span_old_to_new = _level_shape_reorder(
+            span_sizes, full_lump_to_span, full_col_start, full_row_param,
+            segment_bounds, _pad_fn_for(settings))
+        counts = (full_lump_to_span[1:] - full_lump_to_span[:-1])[lump_order]
+        full_lump_to_span = cum_sum_vec(counts)
+        new_span_sizes = np.empty_like(span_sizes)
+        new_span_sizes[span_old_to_new] = span_sizes
+        full_span_start = cum_sum_vec(new_span_sizes)
+        col_lens_old = full_col_start[1:] - full_col_start[:-1]
+        col_lens = col_lens_old[lump_order]
+        new_col_start = cum_sum_vec(col_lens)
+        new_row_param = np.empty_like(full_row_param)
+        old_col_start = full_col_start
+        for k, o in enumerate(lump_order):
+            rows = span_old_to_new[
+                full_row_param[old_col_start[o]:old_col_start[o + 1]]]
+            rows.sort()
+            new_row_param[new_col_start[k]:new_col_start[k + 1]] = rows
+        full_col_start = new_col_start
+        full_row_param = new_row_param
+        full_inv_perm = span_old_to_new[full_inv_perm]
 
-    skel = CoalescedBlockMatrixSkel(new_span_start, new_lump_to_span,
-                                    new_col_start, new_row_param,
+    skel = CoalescedBlockMatrixSkel(full_span_start, full_lump_to_span,
+                                    full_col_start, full_row_param,
                                     pad_fn=_pad_fn_for(settings))
 
     cfut = (full_elim_end

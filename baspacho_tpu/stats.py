@@ -63,8 +63,8 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
     be = solver.backend
     sched = be._factor_schedule(0, solver.skel.num_lumps)
     aux_all = []
-    for _, pair_buckets, _ in sched:
-        be._register_aux(pair_buckets, aux_all)
+    for lev in sched:
+        be._register_aux(lev[1], aux_all)
     aux_all = tuple(jnp.asarray(a) for a in aux_all)
     ext = jnp.concatenate([jnp.asarray(data),
                            jnp.zeros(2, jnp.asarray(data).dtype)])
@@ -82,7 +82,7 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
             float(jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]))
         return out, (time.perf_counter() - t0) / reps
 
-    for lump_buckets, pair_buckets, ptot in sched:
+    for lump_buckets, pair_buckets, ptot, dense in sched:
         prods = []
         for lb in lump_buckets:
             B = len(lb.off)
