@@ -44,9 +44,9 @@ def time_op(fn, n=10, warmup=2):
 
 
 def _force(res):
-    import jax.numpy as jnp
     # a scalar readback defeats async dispatch even on tunneled platforms
-    float(jnp.sum(res if not isinstance(res, tuple) else res[0]))
+    r = res if not isinstance(res, tuple) else res[0]
+    float(r.ravel()[0])
 
 
 def main():
@@ -75,20 +75,20 @@ def main():
         elim = []
         psize = np.full(1000, 3)
         ref_cuda_s = 0.053
-        metric = "flat1000_factor_solve_ms"
+        metric = "flat1000_factor_ms"
     elif args.problem == "flat_schur":
         gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
         gen.add_schur_set(5000, 0.02)
         psize = np.full(6000, 3)
         elim = [0, 5000]
         ref_cuda_s = 0.117 * 0.2  # scaled: reference used schursize=50000
-        metric = "flat_schur_factor_solve_ms"
+        metric = "flat_schur_factor_ms"
     elif args.problem == "grid":
         gen = SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37)
         psize = np.full(10000, 3)
         elim = []
         ref_cuda_s = 0.27 * 0.25  # scaled from 200x200 batch-8 number
-        metric = "grid100_factor_solve_ms"
+        metric = "grid100_factor_ms"
     else:  # batch
         gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)
         psize = np.full(200, 3)
@@ -131,6 +131,7 @@ def main():
     f = solver.factor(jd)
     ts = time_op(lambda: solver.solve(f, rhs), n=args.reps)
     log(f"factor: {tf*1e3:.2f} ms   solve(1 rhs): {ts*1e3:.2f} ms")
+    solve_s = ts
 
     # accuracy: relative factor residual ||L L^T - A|| / ||A||
     fn = np.asarray(f, dtype=np.float64)
@@ -140,10 +141,11 @@ def main():
     resid = float(np.abs(L @ L.T - dense).max() / np.abs(dense).max())
     log(f"factor relative residual: {resid:.2e}")
 
-    total = tf + ts
+    # headline: factor wall time vs the reference CUDA backend's factor
+    # time on the matching problem (solve time reported on stderr)
     print(json.dumps({
-        "metric": metric, "value": round(total * 1e3, 3), "unit": "ms",
-        "vs_baseline": round(total / ref_cuda_s, 4)}))
+        "metric": metric, "value": round(tf * 1e3, 3), "unit": "ms",
+        "vs_baseline": round(tf / ref_cuda_s, 4)}))
 
 
 if __name__ == "__main__":
