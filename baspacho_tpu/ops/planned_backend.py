@@ -166,11 +166,10 @@ class PlannedBackend:
         the level for the dense W W^T update path)."""
         lump_buckets = self._bucket_lumps(lds, with_below_idx)
         n_origins = sum(1 for ld in lds if ld.total_rows > ld.size)
-        dense = (n_origins >= self.DENSE_MIN_ORIGINS and
-                 self.plan.skel.order <= self.DENSE_MAX_ORDER)
-        if dense:
+        if n_origins >= self.DENSE_MIN_ORIGINS:
             dense_info = self._build_dense_update(lds, lump_buckets)
-            return lump_buckets, [], 0, dense_info
+            if dense_info is not None:
+                return lump_buckets, [], 0, dense_info
         prod_total = 0
         origin_pos: Dict[int, Tuple[int, int]] = {}
         for lb in lump_buckets:
@@ -183,43 +182,54 @@ class PlannedBackend:
         pair_buckets = self._build_pairs(lds, origin_pos)
         return lump_buckets, pair_buckets, prod_total, None
 
+    CHUNK_W = 2048  # max W width per accumulation chunk
+
     def _build_dense_update(self, lds, lump_buckets):
-        """Plan the dense update: W is (order+1, level_width) assembling
-        every level column's below panel at its global row positions
-        (trash row absorbs padding); U = W W^T holds exactly the sum of
-        this level's block-pair updates (nonzero only at positions the
-        fill guarantees exist). Targets receive U via contiguous
-        chain-run slice subtractions."""
+        """Plan the dense update: the level's update matrix
+        U = sum_o below_o below_o^T is accumulated over chunks of origin
+        columns as dense GEMMs U += W_c W_c^T, where W_c scatters a chunk's
+        below panels to their global row positions RELATIVE to the target
+        region (rows touched by this level). U holds exactly the level's
+        block-pair updates; targets receive it via contiguous chain-run
+        slice subtractions. This is the TPU-native form of the reference's
+        flattened block-pair sparse elimination (MatOpsCuda.cu:309): the
+        irregular work shrinks to one panel-volume scatter per chunk and
+        everything else is MXU GEMMs."""
         sk = self.plan.skel
         span_size = sk.span_start[1:] - sk.span_start[:-1]
-        # column base of each origin inside W, per lump bucket member
-        colbases = {}
-        width = 0
-        for bi, lb in enumerate(lump_buckets):
-            if lb.rp == 0:
-                continue
-            bases = []
-            for _ in lb.members:
-                bases.append(width)
-                width += lb.cp
-            colbases[bi] = _i32(bases)
-        # affected target chain-runs: union over level columns' below spans
+        # affected target spans / region bounds
         touched = set()
         for ld in lds:
             o = ld.index
             cs_, ce_ = int(sk.chain_col_ptr[o]), int(sk.chain_col_ptr[o + 1])
             nd = int(sk.lump_to_span[o + 1] - sk.lump_to_span[o])
             touched.update(sk.chain_row_span[cs_ + nd:ce_].tolist())
+        if not touched:
+            return None
+        region_start = int(min(sk.span_start[s] for s in touched))
+        region_end = int(max(sk.span_start[s + 1] for s in touched))
+        region = region_end - region_start
+        if region > self.DENSE_MAX_ORDER:
+            return None
+
+        # chunks: per lump bucket, runs of members with total width <= CHUNK_W
+        chunks = []  # (bucket_idx, b0, b1)
+        for bi, lb in enumerate(lump_buckets):
+            if lb.rp == 0:
+                continue
+            per = max(1, self.CHUNK_W // lb.cp)
+            for b0 in range(0, len(lb.off), per):
+                chunks.append((bi, b0, min(b0 + per, len(lb.off))))
+
+        # per target lump: contiguous chain runs (touched spans only)
         touched_lumps = sorted({int(sk.span_to_lump[s]) for s in touched})
-        # per target lump: contiguous chain runs (present spans only),
-        # subtracted as (panel rows x width) strided slices
-        slices = []  # (panel_off, rows, stride, width, gr0, gc0)
+        slices = []  # (panel_off, rows, stride, width, gr0_rel, gc0)
         for t in touched_lumps:
             tcs, tce = int(sk.chain_col_ptr[t]), int(sk.chain_col_ptr[t + 1])
             spans = sk.chain_row_span[tcs:tce]
             keep = np.isin(spans, list(touched))
             wt = int(sk.lump_start[t + 1] - sk.lump_start[t])
-            gc0 = int(sk.lump_start[t])
+            gc0 = int(sk.lump_start[t]) - region_start
             st = int(sk.col_stride[t])
             ci = 0
             while ci < len(spans):
@@ -232,9 +242,11 @@ class PlannedBackend:
                     cj += 1
                 rs = int(np.sum(span_size[spans[ci:cj + 1]]))
                 slices.append((int(sk.chain_data[tcs + ci]), rs, st, wt,
-                               int(sk.span_start[spans[ci]]), gc0))
+                               int(sk.span_start[spans[ci]]) - region_start,
+                               gc0))
                 ci = cj + 1
-        return {"width": width, "colbases": colbases, "slices": slices}
+        return {"region_start": region_start, "region": region,
+                "chunks": chunks, "slices": slices}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -557,7 +569,6 @@ class PlannedBackend:
                         continue
                     dense["slots"][bi] = len(aux_np)
                     aux_np.append(lb.below_idx)
-                    aux_np.append(dense["colbases"][bi])
 
         def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
@@ -567,22 +578,32 @@ class PlannedBackend:
             ext = jnp.concatenate([data, jnp.zeros(max_win, data.dtype)])
             for lump_buckets, pair_buckets, ptot, dense in sched:
                 if dense is not None:
-                    # factor the level, assembling a dense W of all below
-                    # panels; apply the whole level's update as U = W W^T
-                    # with contiguous slice subtractions
-                    W = jnp.zeros((order + 1, dense["width"]), ext.dtype)
+                    # factor the level; accumulate its whole update as
+                    # chunked dense GEMMs U += W_c W_c^T over the touched
+                    # row region, then subtract U into targets via
+                    # contiguous chain-run slices
+                    rg = dense["region"]
+                    r0 = dense["region_start"]
+                    xs = {}
                     for bi, lb in enumerate(lump_buckets):
                         ext, x = self._factor_bucket(ext, lb,
                                                      want_below=True)
-                        if x is None:
-                            continue
-                        slot = dense["slots"][bi]
-                        bidx, colbase = aux[slot], aux[slot + 1]
+                        if x is not None:
+                            xs[bi] = x
+                    U = jnp.zeros((rg, rg), ext.dtype)
+                    for bi, b0, b1 in dense["chunks"]:
+                        lb = lump_buckets[bi]
+                        x = xs[bi][b0:b1]
+                        bidx = aux[dense["slots"][bi]][b0:b1]
+                        rows = jnp.minimum(bidx - r0, rg)  # pads -> trash
+                        nb = b1 - b0
+                        col0 = (jnp.arange(nb, dtype=jnp.int32) *
+                                lb.cp)[:, None, None]
                         ci = jax.lax.broadcasted_iota(
                             jnp.int32, (1, 1, lb.cp), 2)
-                        W = W.at[bidx[:, :, None],
-                                 colbase[:, None, None] + ci].set(x)
-                    U = W[:order] @ W[:order].T
+                        Wc = jnp.zeros((rg + 1, nb * lb.cp), ext.dtype)
+                        Wc = Wc.at[rows[:, :, None], col0 + ci].set(x)
+                        U = U + Wc[:rg] @ Wc[:rg].T
                     for off, rows, st, wt, gr0, gc0 in dense["slices"]:
                         region = jax.lax.dynamic_slice_in_dim(
                             ext, off, rows * st).reshape(rows, st)
