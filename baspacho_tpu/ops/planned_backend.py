@@ -182,7 +182,8 @@ class PlannedBackend:
         pair_buckets = self._build_pairs(lds, origin_pos)
         return lump_buckets, pair_buckets, prod_total, None
 
-    CHUNK_W = 2048  # max W width per accumulation chunk
+    CHUNK_W = 2048     # max W width per accumulation chunk
+    MAX_SLICES = 384   # beyond this many unrolled slice ops, use pairs
 
     def _build_dense_update(self, lds, lump_buckets):
         """Plan the dense update: the level's update matrix
@@ -221,30 +222,48 @@ class PlannedBackend:
             for b0 in range(0, len(lb.off), per):
                 chunks.append((bi, b0, min(b0 + per, len(lb.off))))
 
-        # per target lump: contiguous chain runs (touched spans only)
+        # per target lump: row runs x column runs over touched spans only
+        # (a target's own spans may be partly untouched — those columns
+        # receive no update and may even lie outside the region)
         touched_lumps = sorted({int(sk.span_to_lump[s]) for s in touched})
-        slices = []  # (panel_off, rows, stride, width, gr0_rel, gc0)
+        slices = []  # (panel_off, rows, stride, c0, wc, gr0_rel, gc0_rel)
+
+        def runs(spans, keep):
+            i = 0
+            while i < len(spans):
+                if not keep[i]:
+                    i += 1
+                    continue
+                j = i
+                while j + 1 < len(spans) and keep[j + 1] and \
+                        spans[j + 1] == spans[j] + 1:
+                    j += 1
+                yield i, j
+                i = j + 1
+
         for t in touched_lumps:
             tcs, tce = int(sk.chain_col_ptr[t]), int(sk.chain_col_ptr[t + 1])
             spans = sk.chain_row_span[tcs:tce]
             keep = np.isin(spans, list(touched))
-            wt = int(sk.lump_start[t + 1] - sk.lump_start[t])
-            gc0 = int(sk.lump_start[t]) - region_start
             st = int(sk.col_stride[t])
-            ci = 0
-            while ci < len(spans):
-                if not keep[ci]:
-                    ci += 1
-                    continue
-                cj = ci
-                while cj + 1 < len(spans) and keep[cj + 1] and \
-                        spans[cj + 1] == spans[cj] + 1:
-                    cj += 1
-                rs = int(np.sum(span_size[spans[ci:cj + 1]]))
-                slices.append((int(sk.chain_data[tcs + ci]), rs, st, wt,
-                               int(sk.span_start[spans[ci]]) - region_start,
-                               gc0))
-                ci = cj + 1
+            s0, s1 = int(sk.lump_to_span[t]), int(sk.lump_to_span[t + 1])
+            own = np.arange(s0, s1)
+            own_keep = np.isin(own, list(touched))
+            col_runs = []
+            for ci, cj in runs(own, own_keep):
+                col_runs.append((
+                    int(sk.span_start[own[ci]] - sk.lump_start[t]),  # c0
+                    int(sk.span_start[own[cj] + 1] -
+                        sk.span_start[own[ci]]),                      # wc
+                    int(sk.span_start[own[ci]]) - region_start))      # gc0
+            for ri, rj in runs(spans, keep):
+                rs = int(np.sum(span_size[spans[ri:rj + 1]]))
+                gr0 = int(sk.span_start[spans[ri]]) - region_start
+                off = int(sk.chain_data[tcs + ri])
+                for c0, wc, gc0 in col_runs:
+                    slices.append((off, rs, st, c0, wc, gr0, gc0))
+            if len(slices) > self.MAX_SLICES:
+                return None  # too fragmented: block-pair path wins
         return {"region_start": region_start, "region": region,
                 "chunks": chunks, "slices": slices}
 
@@ -604,11 +623,11 @@ class PlannedBackend:
                         Wc = jnp.zeros((rg + 1, nb * lb.cp), ext.dtype)
                         Wc = Wc.at[rows[:, :, None], col0 + ci].set(x)
                         U = U + Wc[:rg] @ Wc[:rg].T
-                    for off, rows, st, wt, gr0, gc0 in dense["slices"]:
+                    for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
                         region = jax.lax.dynamic_slice_in_dim(
                             ext, off, rows * st).reshape(rows, st)
-                        region = region.at[:, :wt].add(
-                            -U[gr0:gr0 + rows, gc0:gc0 + wt])
+                        region = region.at[:, c0:c0 + wc].add(
+                            -U[gr0:gr0 + rows, gc0:gc0 + wc])
                         ext = jax.lax.dynamic_update_slice_in_dim(
                             ext, region.reshape(-1), off, axis=0)
                     continue
