@@ -134,12 +134,14 @@ def main():
     solve_s = ts
 
     # accuracy: relative factor residual ||L L^T - A|| / ||A||
-    fn = np.asarray(f, dtype=np.float64)
-    dense = solver.skel.densify(data.astype(np.float64),
-                                fill_upper_half=True)
-    L = np.tril(solver.skel.densify(fn))
-    resid = float(np.abs(L @ L.T - dense).max() / np.abs(dense).max())
-    log(f"factor relative residual: {resid:.2e}")
+    # (host densify is O(order^2); skip for very large systems)
+    if solver.order <= 12000:
+        fn = np.asarray(f, dtype=np.float64)
+        dense = solver.skel.densify(data.astype(np.float64),
+                                    fill_upper_half=True)
+        L = np.tril(solver.skel.densify(fn))
+        resid = float(np.abs(L @ L.T - dense).max() / np.abs(dense).max())
+        log(f"factor relative residual: {resid:.2e}")
 
     # headline: factor wall time vs the reference CUDA backend's factor
     # time on the matching problem (solve time reported on stderr)
