@@ -201,10 +201,32 @@ class Optimizer:
             self._plans.append((slots, pairs))
 
     # -- cost / grad / hessian ------------------------------------------
-    def _family_terms(self, values_list, ff: _FactorFamily):
+    def _gather_aux(self):
+        """Large per-family index/const arrays as a pytree passed into the
+        jitted computations (baking them in as constants makes lowering
+        slow, esp. on remote-compile platforms)."""
+        if getattr(self, "_aux", None) is not None:
+            return self._aux
+        aux = []
+        for ff, (slots, pairs) in zip(self.factor_families, self._plans):
+            fam_aux = {
+                "ix": [jnp.asarray(ix) for _, ix in ff.slots],
+                "consts": [jnp.asarray(c) for c in ff.consts],
+                "vec_off": [None if v is None else jnp.asarray(v)
+                            for v in slots],
+                "pairs": [(jnp.asarray(off), jnp.asarray(stride),
+                           jnp.asarray(flip))
+                          for _, _, off, stride, flip in pairs],
+            }
+            aux.append(fam_aux)
+        self._aux = aux
+        return aux
+
+    def _family_terms(self, values_list, ff: _FactorFamily, fam_aux):
         """Per-factor robustified residual and per-slot Jacobians."""
-        vals = [values_list[f][jnp.asarray(ix)] for f, ix in ff.slots]
-        consts = [jnp.asarray(c) for c in ff.consts]
+        vals = [values_list[f][ix]
+                for (f, _), ix in zip(ff.slots, fam_aux["ix"])]
+        consts = fam_aux["consts"]
         steps = [self.families[f].tangent_step for f, _ in ff.slots]
         tdims = [self.families[f].tangent_dim for f, _ in ff.slots]
 
@@ -228,46 +250,64 @@ class Optimizer:
         return cost, r_w, jacs_w
 
     def compute_cost(self, values_list):
-        total = 0.0
-        for ff in self.factor_families:
-            vals = [values_list[f][jnp.asarray(ix)] for f, ix in ff.slots]
-            consts = [jnp.asarray(c) for c in ff.consts]
-            r = jax.vmap(lambda vs, cs: ff.residual_fn(*vs, *cs))(
-                tuple(vals), tuple(consts))
-            total = total + 0.5 * jnp.sum(
-                ff.loss.val(jnp.sum(r * r, axis=-1)))
-        return total
+        aux = self._gather_aux() if hasattr(self, "_plans") else None
+        if getattr(self, "_jit_cost", None) is None:
+            def cost_fn(values_list, aux):
+                total = 0.0
+                for fi, ff in enumerate(self.factor_families):
+                    ixs = aux[fi]["ix"] if aux else                         [jnp.asarray(ix) for _, ix in ff.slots]
+                    cs = aux[fi]["consts"] if aux else                         [jnp.asarray(c) for c in ff.consts]
+                    vals = [values_list[f][ix]
+                            for (f, _), ix in zip(ff.slots, ixs)]
+                    r = jax.vmap(lambda vs, c: ff.residual_fn(*vs, *c))(
+                        tuple(vals), tuple(cs))
+                    total = total + 0.5 * jnp.sum(
+                        ff.loss.val(jnp.sum(r * r, axis=-1)))
+                return total
+            self._jit_cost = jax.jit(cost_fn)
+        return self._jit_cost(list(values_list), aux)
 
     def compute_grad_hess(self, values_list, dtype=None):
+        aux = self._gather_aux()
+        if getattr(self, "_jit_gh", None) is None:
+            self._jit_gh = jax.jit(self._grad_hess_impl,
+                                   static_argnames=("dtype",))
+        dt = jnp.dtype(dtype) if dtype is not None else \
+            jnp.asarray(values_list[0]).dtype
+        return self._jit_gh(list(values_list), aux, dtype=jnp.dtype(dt).name)
+
+    def _grad_hess_impl(self, values_list, aux, dtype):
+        dtype = jnp.dtype(dtype)
         solver = self.solver
-        dtype = dtype or values_list[0].dtype
         hdata = jnp.zeros(solver.data_size + 1, dtype)
         grad = jnp.zeros(solver.order + 1, dtype)
         total_cost = 0.0
-        for ff, (slots, pairs) in zip(self.factor_families, self._plans):
-            cost, r, jacs = self._family_terms(values_list, ff)
+        for fi, (ff, (slots, pairs)) in enumerate(
+                zip(self.factor_families, self._plans)):
+            fam_aux = aux[fi]
+            cost, r, jacs = self._family_terms(values_list, ff, fam_aux)
             total_cost = total_cost + cost
-            for k, vec_off in enumerate(slots):
+            for k, vec_off in enumerate(fam_aux["vec_off"]):
                 if vec_off is None:
                     continue
                 td = self.families[ff.slots[k][0]].tangent_dim
                 g = jnp.einsum("bri,br->bi", jacs[k], r,
                                preferred_element_type=dtype)
-                idx = jnp.asarray(vec_off)[:, None] + jnp.arange(td)[None, :]
+                idx = vec_off[:, None] + jnp.arange(td)[None, :]
                 grad = grad.at[idx].add(g)
-            for k, l, off, stride, flip in pairs:
+            for (k, l, _, _, _), (off, stride, flip) in zip(
+                    pairs, fam_aux["pairs"]):
                 ti = self.families[ff.slots[k][0]].tangent_dim
                 tj = self.families[ff.slots[l][0]].tangent_dim
                 h = jnp.einsum("bri,brj->bij", jacs[k], jacs[l],
                                preferred_element_type=dtype)
                 r_ = jnp.arange(ti)[None, :, None]
                 c_ = jnp.arange(tj)[None, None, :]
-                offb = jnp.asarray(off)[:, None, None]
-                strb = jnp.asarray(stride)[:, None, None]
+                offb = off[:, None, None]
+                strb = stride[:, None, None]
                 plain = offb + r_ * strb + c_
                 flipped = offb + c_ * strb + r_
-                idx = jnp.where(jnp.asarray(flip)[:, None, None],
-                                flipped, plain)
+                idx = jnp.where(flip[:, None, None], flipped, plain)
                 hdata = hdata.at[idx].add(h)
         return total_cost, grad[:-1], hdata[:-1]
 

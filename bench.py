@@ -52,7 +52,8 @@ def _force(res):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="flat1000",
-                    choices=["flat1000", "flat_schur", "grid", "batch"])
+                    choices=["flat1000", "flat_schur", "grid", "batch",
+                             "bal"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
@@ -89,6 +90,42 @@ def main():
         elim = []
         ref_cuda_s = 0.27 * 0.25  # scaled from 200x200 batch-8 number
         metric = "grid100_factor_ms"
+    elif args.problem == "bal":
+        # bundle-adjustment Hessian: Schur-eliminated landmarks + cameras
+        # (structure of BAL problem-301-30000-like; reference
+        # BaAtLargeBench.cpp benchmarks the same shape)
+        from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
+        from baspacho_tpu.optimizer import OptimizerSettings
+        prob = make_random_bal(n_cams=300, n_pts=30000, track_len=6,
+                               seed=1)
+        opt, _, _ = build_ba_optimizer(prob)
+        t0 = time.perf_counter()
+        solver = opt.build_solver(OptimizerSettings(
+            backend=BackendType.PLANNED))
+        log(f"symbolic analysis: {time.perf_counter() - t0:.2f}s  "
+            f"lumps={solver.skel.num_lumps} "
+            f"levels={solver.backend.num_levels} "
+            f"dataSize={solver.data_size}")
+        values = [f.values for f in opt.families]
+        t0 = time.perf_counter()
+        cost, grad, hdata = opt.compute_grad_hess(
+            values, dtype=jnp.float32)
+        _force(hdata)
+        log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
+            f"cost={float(cost):.3e}")
+        damp_idx = jnp.asarray(solver.skel.damp_indices())
+        hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+        tf = time_op(lambda: solver.factor(hdata), n=args.reps)
+        f = solver.factor(hdata)
+        ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
+        log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
+        # reference CUDA full-system factor on venice-like shapes ~ scaled;
+        # use BaAtLargeBench problem-257 CUDA factor ~0.31s as anchor
+        ref_cuda_s = 0.31
+        print(json.dumps({
+            "metric": "bal_30k_factor_ms", "value": round(tf * 1e3, 3),
+            "unit": "ms", "vs_baseline": round(tf / ref_cuda_s, 4)}))
+        return
     else:  # batch
         gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)
         psize = np.full(200, 3)
