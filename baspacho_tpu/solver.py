@@ -259,6 +259,30 @@ class Solver:
             res = fn(mat_data, x, out, alpha, aux)
         return res[..., 0] if vec1d else res
 
+    def solve_refined(self, mat_data, factor_data, rhs,
+                      iterations: int = 2):
+        """Mixed-precision solve via iterative refinement.
+
+        `factor_data` is a (typically float32, MXU-friendly) factorization
+        of the matrix held at higher precision in `mat_data`. Each round
+        computes the residual r = b - M x at the matrix precision (block
+        mat-vec) and corrects with a low-precision solve — recovering the
+        reference's float64 accuracy contract (FactorTest.cpp epsilons)
+        while all O(n^3) work stays in float32. This inverts the
+        reference's LowerPrecSolvePrecond trick (Preconditioner.h:146):
+        there a float factor preconditions a double solver; here it IS the
+        solver, refined.
+        """
+        rhs = jnp.asarray(rhs)
+        mat = jnp.asarray(mat_data)
+        lp = jnp.asarray(factor_data)
+        x = self.solve(lp, rhs.astype(lp.dtype)).astype(rhs.dtype)
+        for _ in range(iterations):
+            r = rhs - self.add_mv_from(mat, 0, x, jnp.zeros_like(x), 1.0)
+            dx = self.solve(lp, r.astype(lp.dtype)).astype(rhs.dtype)
+            x = x + dx
+        return x
+
     def pseudo_factor_from(self, data, span_index: int):
         data = jnp.asarray(data)
         n = self.skel.num_spans

@@ -84,3 +84,26 @@ def test_solve_batched(seed):
     for b in range(batch):
         want = np.linalg.solve(L.T, np.linalg.solve(L, rhs[b]))
         assert np.max(np.abs(got[b] - want)) < 1e-8
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_iterative_refinement_recovers_f64(seed):
+    """f32 factor + f64 residual refinement hits the double-precision
+    accuracy contract (reference FactorTest/SolveTest epsilons)."""
+    solver, factored, L = make_solver_and_factor(18, 0.3, seed + 90)
+    data64 = None
+    # rebuild raw matrix data (factored was computed from damped data)
+    rng = np.random.RandomState(seed + 1000 + 90)
+    data64 = random_spd_data(solver.data_size, solver.order, seed + 1090)
+    data64 = np.asarray(solver.skel.damp(data64, 0.0, solver.order * 1.5))
+    f32 = np.asarray(solver.factor(data64.astype(np.float32)))
+    rhs = rng.rand(solver.order)
+    x = np.asarray(solver.solve_refined(data64, f32, rhs, iterations=3))
+    dense = solver.skel.densify(data64, fill_upper_half=True)
+    want = np.linalg.solve(dense, rhs)
+    err0 = np.max(np.abs(np.asarray(
+        solver.solve(f32, rhs.astype(np.float32))).astype(np.float64)
+        - want))
+    err = np.max(np.abs(x - want))
+    assert err < 1e-10, (err, err0)
+    assert err < err0 / 10
