@@ -1,4 +1,6 @@
 from .utils import (
+    print_pattern,
+    print_aggreg_pattern,
     columns_to_lower_csr,
     csr_to_columns,
     naive_independent_elim_fill,
@@ -10,6 +12,8 @@ from .utils import (
 from .mat_gen import SparseMatGenerator
 
 __all__ = [
+    "print_pattern",
+    "print_aggreg_pattern",
     "columns_to_lower_csr",
     "csr_to_columns",
     "naive_independent_elim_fill",

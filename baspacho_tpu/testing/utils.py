@@ -104,3 +104,39 @@ def random_spd_data(data_size: int, order: int, seed: int,
     [-1, 1]. Caller typically applies skel.damp(data, 0, order * 1.5)."""
     rng = np.random.RandomState(seed)
     return (rng.rand(data_size).astype(dtype) * 2.0 - 1.0)
+
+
+def print_pattern(ss, width: int = 80) -> str:
+    """ASCII rendering of a block sparsity pattern (reference
+    TestingUtils.cpp printPattern): '#' stored, '.' empty."""
+    n = ss.order
+    dense = np.zeros((n, n), dtype=bool)
+    dense[ss.expanded_rows(), ss.inds] = True
+    lines = []
+    for r in range(min(n, width)):
+        lines.append("".join("#" if dense[r, c] else "."
+                             for c in range(min(n, width))))
+    return "\n".join(lines)
+
+
+def print_aggreg_pattern(skel, width: int = 80) -> str:
+    """ASCII rendering of a factor skeleton at span granularity with lump
+    boundaries marked '|' (reference printAggreg)."""
+    n = skel.num_spans
+    present = np.zeros((n, n), dtype=bool)
+    for l in range(skel.num_lumps):
+        s0 = int(skel.lump_to_span[l])
+        for ci in range(int(skel.chain_col_ptr[l]),
+                        int(skel.chain_col_ptr[l + 1])):
+            r = int(skel.chain_row_span[ci])
+            for s in range(s0, int(skel.lump_to_span[l + 1])):
+                present[r, s] = True
+    bounds = set(int(x) for x in skel.lump_to_span)
+    lines = []
+    for r in range(min(n, width)):
+        row = []
+        for c in range(min(n, width)):
+            row.append("|" if c in bounds and c == r else
+                       ("#" if present[r, c] else "."))
+        lines.append("".join(row))
+    return "\n".join(lines)
