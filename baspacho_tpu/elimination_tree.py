@@ -182,10 +182,32 @@ class EliminationTree:
         node_rows, node_size = self.node_rows, self.node_size
         node_row_blocks = self.node_row_blocks
 
-        def pick_score(k: int, p: int) -> float:
+        # scalar-inlined cost models (hot loop: ~1e6 evaluations)
+        sp0, sp1, sp2, sp3, sp4, sp5 = (float(x) for x in cm.syge_params)
+        ap0, ap1, ap2, ap3 = (float(x) for x in cm.asmbl_params)
+        pp0, pp1, pp2, pp3 = (float(x) for x in cm.potrf_params)
+        tp0, tp1, tp2, tp3, tp4, tp5 = (float(x) for x in cm.trsm_params)
+
+        def syge_lin(m, n):
+            u, v = m + n, m * n
+            return (sp0 + u * sp1 + v * sp2, sp3 + u * sp4 + v * sp5)
+
+        def asmbl_lin(br):
+            return (ap0 + br * ap1, ap2 + br * ap3)
+
+        def potrf(n):
+            return pp0 + n * (pp1 + n * (pp2 + n * pp3))
+
+        def trsm(n, k):
+            return tp0 + n * (tp1 + n * tp2) + k * (tp3 + n * (tp4 + n * tp5))
+
+        def pick_score(k, p):
             return node_rows[k] / (node_rows[p] + node_size[p])
 
-        # max-heap over (score, k, p) via negation
+        # cost accumulators as scalar pairs
+        syge_costs = [(float(a), float(b)) for a, b in self.syge_costs]
+        asmbl_costs = [(float(a), float(b)) for a, b in self.asmbl_costs]
+
         heap = []
         for k in range(ord_ - 1, -1, -1):
             if self.forbid_merge[k]:
@@ -196,7 +218,6 @@ class EliminationTree:
             heap.append((-pick_score(k, p), -k, -p))
         heapq.heapify(heap)
 
-        syge_costs, asmbl_costs = self.syge_costs, self.asmbl_costs
         per_row_stats = self.per_row_stats
         merge_with = self.merge_with
         num_merged = self.num_merged_nodes
@@ -212,20 +233,19 @@ class EliminationTree:
                 continue
 
             sk, rk = float(node_size[k]), float(node_rows[k])
-            sp, rp = float(node_size[p]), float(node_rows[p])
-            sm = sp + sk
+            sp_, rp = float(node_size[p]), float(node_rows[p])
+            sm = sp_ + sk
             if sm > MAX_SUPERNODE_SIZE:
                 continue
-            t_k = (cm.potrf_est(sk) + cm.trsm_est(sk, rk) +
-                   syge_costs[k][0] + syge_costs[k][1] * sk +
-                   asmbl_costs[k][0] + asmbl_costs[k][1] * num_merged[k])
-            t_p = (cm.potrf_est(sp) + cm.trsm_est(sp, rp) +
-                   syge_costs[p][0] + syge_costs[p][1] * sp +
-                   asmbl_costs[p][0] + asmbl_costs[p][1] * num_merged[p])
-            t_m = (cm.potrf_est(sm) + cm.trsm_est(sm, rp) +
-                   syge_costs[p][0] + syge_costs[p][1] * sm +
-                   asmbl_costs[p][0] +
-                   asmbl_costs[p][1] * (num_merged[k] + num_merged[p]))
+            sgk, sgp = syge_costs[k], syge_costs[p]
+            ask, asp = asmbl_costs[k], asmbl_costs[p]
+            t_k = (potrf(sk) + trsm(sk, rk) + sgk[0] + sgk[1] * sk +
+                   ask[0] + ask[1] * num_merged[k])
+            t_p = (potrf(sp_) + trsm(sp_, rp) + sgp[0] + sgp[1] * sp_ +
+                   asp[0] + asp[1] * num_merged[p])
+            t_m = (potrf(sm) + trsm(sm, rp) + sgp[0] + sgp[1] * sm +
+                   asp[0] +
+                   asp[1] * (num_merged[k] + num_merged[p]))
             if not (t_m < t_k + t_p):
                 continue
 
@@ -240,39 +260,58 @@ class EliminationTree:
             # column, the two row-blocks become one taller block — update
             # that column's syge/asmbl accumulated costs incrementally
             k_rd, p_rd = per_row_stats[k], per_row_stats[p]
-            merged: List[list] = []
+            merged = []
             ik = ip = 0
-            while ik < len(k_rd) or ip < len(p_rd):
-                if ip >= len(p_rd) or (ik < len(k_rd) and
-                                       k_rd[ik][0] < p_rd[ip][0]):
+            nk_, np2 = len(k_rd), len(p_rd)
+            while ik < nk_ or ip < np2:
+                if ip >= np2 or (ik < nk_ and k_rd[ik][0] < p_rd[ip][0]):
                     if k_rd[ik][0] != k:
                         merged.append(k_rd[ik])
                     ik += 1
-                elif ik >= len(k_rd) or k_rd[ik][0] > p_rd[ip][0]:
+                elif ik >= nk_ or k_rd[ik][0] > p_rd[ip][0]:
                     if p_rd[ip][0] != p:
                         merged.append(p_rd[ip])
                     ip += 1
                 else:
-                    c, kb, kr, _, _ = k_rd[ik]
+                    c, kb, kr, kbd, krd = k_rd[ik]
                     _, pb, pr, pbd, prd = p_rd[ip]
-                    syge_costs[c] -= cm.syge_lin_est(k_rd[ik][4] + kr, kr)
-                    asmbl_costs[c] -= cm.asmbl_lin_est(k_rd[ik][3] + kb)
-                    syge_costs[c] -= cm.syge_lin_est(prd + pr, pr)
-                    asmbl_costs[c] -= cm.asmbl_lin_est(pbd + pb)
-                    syge_costs[c] += cm.syge_lin_est(prd + kr + pr, kr + pr)
-                    asmbl_costs[c] += cm.asmbl_lin_est(pbd + kb + pb)
+                    s0, s1 = syge_costs[c]
+                    a0, a1 = asmbl_costs[c]
+                    d = syge_lin(krd + kr, kr)
+                    s0 -= d[0]; s1 -= d[1]
+                    d = asmbl_lin(kbd + kb)
+                    a0 -= d[0]; a1 -= d[1]
+                    d = syge_lin(prd + pr, pr)
+                    s0 -= d[0]; s1 -= d[1]
+                    d = asmbl_lin(pbd + pb)
+                    a0 -= d[0]; a1 -= d[1]
+                    d = syge_lin(prd + kr + pr, kr + pr)
+                    s0 += d[0]; s1 += d[1]
+                    d = asmbl_lin(pbd + kb + pb)
+                    a0 += d[0]; a1 += d[1]
+                    syge_costs[c] = (s0, s1)
+                    asmbl_costs[c] = (a0, a1)
                     merged.append([c, kb + pb, kr + pr, pbd, prd])
                     ik += 1
                     ip += 1
-            syge_costs[p] -= cm.syge_lin_est(node_rows[p] + prev_size_p,
-                                             prev_size_p)
-            asmbl_costs[p] -= cm.asmbl_lin_est(node_row_blocks[p] + prev_merged_p)
-            syge_costs[p] += cm.syge_lin_est(node_rows[p] + node_size[p],
-                                             node_size[p])
-            asmbl_costs[p] += cm.asmbl_lin_est(node_row_blocks[p] + num_merged[p])
+            s0, s1 = syge_costs[p]
+            a0, a1 = asmbl_costs[p]
+            d = syge_lin(float(node_rows[p]) + prev_size_p, prev_size_p)
+            s0 -= d[0]; s1 -= d[1]
+            d = asmbl_lin(float(node_row_blocks[p]) + prev_merged_p)
+            a0 -= d[0]; a1 -= d[1]
+            d = syge_lin(float(node_rows[p] + node_size[p]),
+                         float(node_size[p]))
+            s0 += d[0]; s1 += d[1]
+            d = asmbl_lin(float(node_row_blocks[p] + num_merged[p]))
+            a0 += d[0]; a1 += d[1]
+            syge_costs[p] = (s0, s1)
+            asmbl_costs[p] = (a0, a1)
             merged.append([p, int(num_merged[p]), int(node_size[p]),
                            int(node_row_blocks[p]), int(node_rows[p])])
             per_row_stats[p] = merged
+        self.syge_costs = np.array(syge_costs)
+        self.asmbl_costs = np.array(asmbl_costs)
 
     # ------------------------------------------------------------------
     def collapse_merge_pointers(self) -> None:
