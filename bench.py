@@ -53,7 +53,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="flat1000",
                     choices=["flat1000", "flat_schur", "grid", "batch",
-                             "bal"])
+                             "bal", "meri"])
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
@@ -90,6 +90,13 @@ def main():
         elim = []
         ref_cuda_s = 0.27 * 0.25  # scaled from 200x200 batch-8 number
         metric = "grid100_factor_ms"
+    elif args.problem == "meri":
+        gen = SparseMatGenerator.gen_meridians(7, 150, 0.2, 10, 20, 2, 2,
+                                               seed=37)
+        psize = np.full(gen.size, 3)
+        elim = []
+        ref_cuda_s = 0.082  # reference MERI n=7, CUDA batch-16 per-matrix
+        metric = "meri7_factor_ms"
     elif args.problem == "bal":
         # bundle-adjustment Hessian: Schur-eliminated landmarks + cameras
         # (structure of BAL problem-301-30000-like; reference

@@ -76,3 +76,19 @@ def test_planned_batched_matches_single():
     batched = np.asarray(solver.factor(datas))
     for b in range(batch):
         assert np.max(np.abs(batched[b] - single[b])) < 1e-10
+
+
+def test_planned_batched_dense_update_path():
+    """Batched (vmapped) factor through the dense W W^T update path."""
+    solver, data = build(4, n=12, fill=0.3, schur=70, elim_ranges=[0, 70])
+    sched = solver.backend._factor_schedule(0, solver.skel.num_lumps)
+    assert any(lev[3] is not None for lev in sched), "dense path not hit"
+    batch = 3
+    datas = np.stack([data * (1.0 + 0.02 * b) for b in range(batch)])
+    batched = np.asarray(solver.factor(datas))
+    for b in range(batch):
+        single = np.asarray(solver.factor(datas[b]))
+        assert np.max(np.abs(batched[b] - single)) < 1e-10
+        dense = solver.skel.densify(datas[b], fill_upper_half=True)
+        L = np.tril(solver.skel.densify(single))
+        assert np.max(np.abs(L @ L.T - dense)) < 1e-8
