@@ -108,7 +108,7 @@ class PairBucket:
     window per block — microseconds per window on TPU instead of
     nanoseconds per element."""
     rsp: int                # padded run rows
-    stride: int             # target panel stride (= window width)
+    stride: int             # target panel stride (window buckets only)
     src_base: np.ndarray    # (P,) flat offset of block in product buffer
     src_stride: np.ndarray  # (P,) product row stride (rp of origin bucket)
     rs: np.ndarray          # (P,) actual rows
@@ -116,6 +116,10 @@ class PairBucket:
     c0: np.ndarray          # (P,) column offset inside the target panel
     tgt_row_start: np.ndarray  # (P,) flat offset of the block's first row
     #                            at column 0 of the target panel
+    tgt_stride: np.ndarray = None  # (P,) per-pair stride (element buckets)
+    kind: str = "window"    # "window" (contiguous whole-row chunks) or
+    #                         "element" (block scatter, mixed strides)
+    csp: int = 0
 
 
 class PlannedBackend:
@@ -158,7 +162,10 @@ class PlannedBackend:
     # slice subtractions (requires a moderate matrix order)
     DENSE_MIN_ORIGINS = 2
     DENSE_MAX_ORDER = 16384
-    WINDOW_MAX_STRIDE = 256  # wider targets use elementwise block scatter
+    WINDOW_MAX_STRIDE = 256   # wider targets use elementwise block scatter
+    WINDOW_MIN_ELEMS = 512    # smaller windows are cheaper elementwise
+    #                           (TPU window scatters cost ~us each; element
+    #                           scatters ~10ns/el)
 
     def _build_level(self, lds, with_below_idx=False):
         """Bucket the level's lumps; assign product-buffer offsets to
@@ -183,7 +190,7 @@ class PlannedBackend:
         return lump_buckets, pair_buckets, prod_total, None
 
     CHUNK_W = 2048     # max W width per accumulation chunk
-    MAX_SLICES = 384   # beyond this many unrolled slice ops, use pairs
+    MAX_SLICES = 1024  # beyond this many unrolled slice ops, use pairs
 
     def _build_dense_update(self, lds, lump_buckets):
         """Plan the dense update: the level's update matrix
@@ -244,11 +251,15 @@ class PlannedBackend:
         for t in touched_lumps:
             tcs, tce = int(sk.chain_col_ptr[t]), int(sk.chain_col_ptr[t + 1])
             spans = sk.chain_row_span[tcs:tce]
-            keep = np.isin(spans, list(touched))
+            # U is zero outside the touched pattern, so subtract over every
+            # in-region span (maximal contiguous runs, minimal slice count)
+            keep = (sk.span_start[spans] >= region_start) & \
+                (sk.span_start[spans + 1] <= region_end)
             st = int(sk.col_stride[t])
             s0, s1 = int(sk.lump_to_span[t]), int(sk.lump_to_span[t + 1])
             own = np.arange(s0, s1)
-            own_keep = np.isin(own, list(touched))
+            own_keep = (sk.span_start[own] >= region_start) & \
+                (sk.span_start[own + 1] <= region_end)
             col_runs = []
             for ci, cj in runs(own, own_keep):
                 col_runs.append((
@@ -379,22 +390,52 @@ class PlannedBackend:
         arr = np.array(parts, dtype=np.int64).T
         src, sstride, rs, cls, c0, trs, stride = arr
         rsp = _pad_pow2(rs, PAD_COLS)
-        key = rsp * 1000000 + stride
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        bounds = np.concatenate([[0], np.nonzero(np.diff(ks))[0] + 1,
-                                 [len(ks)]])
         out = []
-        for bi in range(len(bounds) - 1):
-            sel = order[bounds[bi]:bounds[bi + 1]]
-            pb = PairBucket(
-                rsp=int(rsp[sel[0]]), stride=int(stride[sel[0]]),
-                src_base=_i32(src[sel]), src_stride=_i32(sstride[sel]),
-                rs=_i32(rs[sel]), cs=_i32(cls[sel]), c0=_i32(c0[sel]),
-                tgt_row_start=_i32(trs[sel]))
-            pb.csp = int(_pad_pow2(np.array([cls[sel].max()]),
-                                   PAD_COLS)[0])
-            out.append(pb)
+
+        # window path: big contiguous rectangles in narrow panels — one
+        # whole-window add per pair (bandwidth-bound)
+        is_win = (stride <= self.WINDOW_MAX_STRIDE) & \
+            (rsp * stride >= self.WINDOW_MIN_ELEMS)
+        wsel = np.nonzero(is_win)[0]
+        if len(wsel):
+            key = rsp[wsel] * 1000000 + stride[wsel]
+            order = wsel[np.argsort(key, kind="stable")]
+            ks = rsp[order] * 1000000 + stride[order]
+            bounds = np.concatenate([[0], np.nonzero(np.diff(ks))[0] + 1,
+                                     [len(ks)]])
+            for bi in range(len(bounds) - 1):
+                sel = order[bounds[bi]:bounds[bi + 1]]
+                out.append(PairBucket(
+                    rsp=int(rsp[sel[0]]), stride=int(stride[sel[0]]),
+                    src_base=_i32(src[sel]), src_stride=_i32(sstride[sel]),
+                    rs=_i32(rs[sel]), cs=_i32(cls[sel]), c0=_i32(c0[sel]),
+                    tgt_row_start=_i32(trs[sel])))
+
+        # element path: everything else, consolidated into at most two
+        # padded shape groups per level (small / large) with per-pair
+        # target strides — few scatter ops, modest padding waste
+        esel = np.nonzero(~is_win)[0]
+        if len(esel):
+            csp_e = _pad_pow2(cls[esel], PAD_COLS)
+            small = (rsp[esel] <= 8) & (csp_e <= 8)
+            MAX_ELEMS = 16_000_000  # cap materialized update tensor size
+            for group in (esel[small], esel[~small]):
+                if not len(group):
+                    continue
+                g_rsp = int(_pad_pow2(rs[group], PAD_COLS).max())
+                g_csp = int(_pad_pow2(cls[group], PAD_COLS).max())
+                per = max(1, MAX_ELEMS // (g_rsp * g_csp))
+                for s0 in range(0, len(group), per):
+                    g = group[s0:s0 + per]
+                    pb = PairBucket(
+                        rsp=g_rsp, stride=0,
+                        src_base=_i32(src[g]),
+                        src_stride=_i32(sstride[g]),
+                        rs=_i32(rs[g]), cs=_i32(cls[g]),
+                        c0=_i32(c0[g]), tgt_row_start=_i32(trs[g]),
+                        tgt_stride=_i32(stride[g]), kind="element")
+                    pb.csp = g_csp
+                    out.append(pb)
         return out
 
     def _solve_schedule(self, start: int, end: int) -> List[List[LumpBucket]]:
@@ -518,8 +559,9 @@ class PlannedBackend:
         is a no-op there (this is what makes whole-window scatters legal
         and fast). Descriptor arrays arrive via `aux` (runtime operands)."""
         for pb in pair_buckets:
-            sb_, ss_, rs_, cs_, c0_, tr_ = aux[pb.aux_slot:pb.aux_slot + 6]
-            if pb.stride <= self.WINDOW_MAX_STRIDE:
+            (sb_, ss_, rs_, cs_, c0_, tr_,
+             ts_) = aux[pb.aux_slot:pb.aux_slot + 7]
+            if pb.kind == "window":
                 # whole-window adds: (rsp x stride) contiguous rows
                 w = pb.stride
                 r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 1)
@@ -538,9 +580,8 @@ class PlannedBackend:
                                           unique_indices=False,
                                           indices_are_sorted=False)
             else:
-                # wide target panels: elementwise block scatter over the
-                # actual (rs x cs) rectangles (window padding to a wide
-                # stride would materialize huge update tensors)
+                # elementwise block scatter over the actual (rs x cs)
+                # rectangles with per-pair target strides
                 csp = pb.csp
                 r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 1)
                 c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 2)
@@ -548,7 +589,7 @@ class PlannedBackend:
                 vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
                 mask = (r < rs_[:, None, None]) & (c < cs_[:, None, None])
                 tgt = tr_[:, None, None] + c0_[:, None, None] + \
-                    r * pb.stride + c
+                    r * ts_[:, None, None] + c
                 trash = ext.shape[0] - 2
                 ext = ext.at[jnp.where(mask, tgt, trash)].add(-vals)
         return ext
@@ -558,8 +599,10 @@ class PlannedBackend:
         """Assign aux slots for pair-bucket descriptor arrays."""
         for pb in pair_buckets:
             pb.aux_slot = len(aux)
+            ts = pb.tgt_stride if pb.tgt_stride is not None \
+                else np.zeros(1, np.int32)
             aux.extend([pb.src_base, pb.src_stride, pb.rs, pb.cs,
-                        pb.c0, pb.tgt_row_start])
+                        pb.c0, pb.tgt_row_start, ts])
 
     # ------------------------------------------------------------------
     # public builders (same interface as UnrolledBackend)
