@@ -228,6 +228,11 @@ class PlannedBackend:
             per = max(1, self.CHUNK_W // lb.cp)
             for b0 in range(0, len(lb.off), per):
                 chunks.append((bi, b0, min(b0 + per, len(lb.off))))
+        if len(chunks) > 256:
+            # chunked-GEMM flops scale with chunks * region^2: beyond this
+            # the dense formulation wastes too much (very wide levels like
+            # full-scale BAL need the segment-sum kernel, future work)
+            return None
 
         # per target lump: row runs x column runs over touched spans only
         # (a target's own spans may be partly untouched — those columns

@@ -259,6 +259,16 @@ class Solver:
             res = fn(mat_data, x, out, alpha, aux)
         return res[..., 0] if vec1d else res
 
+    def check_factor(self, factored) -> bool:
+        """Singularity/NaN detection: True iff every diagonal entry of L
+        is finite and positive. (The reference captures cusolver's potrf
+        info but never surfaces it — listed under "possible future
+        improvements" in its README; here it's a one-liner over the
+        factor's diagonal.) Works on batched data (checks all)."""
+        f = jnp.asarray(factored)
+        d = jnp.take(f, jnp.asarray(self.skel.damp_indices()), axis=-1)
+        return bool(jnp.all(jnp.isfinite(d) & (d > 0)))
+
     def solve_refined(self, mat_data, factor_data, rhs,
                       iterations: int = 2):
         """Mixed-precision solve via iterative refinement.

@@ -133,3 +133,14 @@ def test_factor_batched(seed):
         l_oracle = np.linalg.cholesky(dense)
         l_mine = np.tril(solver.skel.densify(factored[b]))
         assert np.max(np.abs(l_mine - l_oracle)) < 1e-10
+
+
+def test_check_factor_detects_indefinite():
+    gen = SparseMatGenerator.gen_flat(15, 0.3, seed=5)
+    ss = gen.to_structure()
+    solver = create_solver(Settings(), np.full(15, 2), ss)
+    data = random_spd_data(solver.data_size, solver.order, 5)
+    good = solver.factor(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    assert solver.check_factor(good)
+    bad = solver.factor(solver.skel.damp(data, 0.0, -1e6))  # indefinite
+    assert not solver.check_factor(bad)
