@@ -726,6 +726,38 @@ class PlannedBackend:
                     aux_np.append(sb.below_idx)
         return aux_np
 
+    def _tri_solve(self, L, x, transpose):
+        """Triangular solve with a blocked panel loop for wide diagonals
+        (XLA's native lowering is slow/heavy above ~256)."""
+        cp = L.shape[1]
+        nb = self.BLOCK
+        if cp <= nb:
+            return jax.lax.linalg.triangular_solve(
+                L, x, left_side=True, lower=True, transpose_a=transpose)
+        if not transpose:
+            for k in range(0, cp, nb):
+                w = min(nb, cp - k)
+                xk = jax.lax.linalg.triangular_solve(
+                    L[:, k:k + w, k:k + w], x[:, k:k + w],
+                    left_side=True, lower=True)
+                x = x.at[:, k:k + w].set(xk)
+                if k + w < cp:
+                    x = x.at[:, k + w:].add(-jnp.einsum(
+                        "brk,bkn->brn", L[:, k + w:, k:k + w], xk,
+                        preferred_element_type=x.dtype))
+        else:
+            for k in range(((cp - 1) // nb) * nb, -1, -nb):
+                w = min(nb, cp - k)
+                xk = jax.lax.linalg.triangular_solve(
+                    L[:, k:k + w, k:k + w], x[:, k:k + w],
+                    left_side=True, lower=True, transpose_a=True)
+                x = x.at[:, k:k + w].set(xk)
+                if k > 0:
+                    x = x.at[:, :k].add(-jnp.einsum(
+                        "bkr,bkn->brn", L[:, k:k + w, :k], xk,
+                        preferred_element_type=x.dtype))
+        return x
+
     def make_solve_l(self, start_lump: int, end_lump: int):
         sched = self._solve_schedule(start_lump, end_lump)
         order = self.plan.skel.order

@@ -160,6 +160,13 @@ def main():
         per_matrix = t / B
         log(f"batched factor: {t*1e3:.2f} ms total, "
             f"{per_matrix*1e6:.1f} us/matrix")
+        fb = solver.factor(jd)
+        rhsb = jax.device_put(np.random.RandomState(0).rand(
+            B, solver.order, 1).astype(dtype))
+        tsol = time_op(lambda: solver.solve(fb, rhsb), n=args.reps)
+        log(f"batched solve: {tsol*1e3:.2f} ms total, "
+            f"{tsol/B*1e6:.1f} us/matrix "
+            f"(reference CUDA batch-16 solve ~1.2 ms/matrix)")
         print(json.dumps({
             "metric": metric, "value": round(per_matrix * 1e3, 4),
             "unit": "ms", "vs_baseline": round(per_matrix / ref_cuda_s, 4)}))
