@@ -104,3 +104,20 @@ def test_backends_agree():
     # random data, so compare L L^T vs input per backend instead
     for dense_in, L in results:
         assert np.max(np.abs(L @ L.T - dense_in)) < 1e-8
+
+
+def test_level_reorder_option():
+    """level_reorder=True renumbers lumps level-major; factorization must
+    stay correct (buckets become contiguous storage slices)."""
+    ss, psizes, schur = problem(seed=8, n=12, schur=56)
+    solver = create_solver(
+        Settings(backend=BackendType.PLANNED, level_reorder=True),
+        psizes, ss, sparse_elim_ranges=[0, schur])
+    data = random_spd_data(solver.data_size, solver.order, 11)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    L = np.tril(solver.skel.densify(np.asarray(solver.factor(data))))
+    assert np.max(np.abs(L @ L.T - dense)) < 1e-8
+    # levels must be non-decreasing along the post-elim lump order
+    lv = solver.plan.lump_levels[schur:]
+    assert np.all(np.diff(lv) >= 0)
