@@ -32,15 +32,19 @@ def log(*a):
 
 
 def time_op(fn, n=10, warmup=2):
+    """Per-call wall time amortized over n back-to-back dispatches with a
+    single final readback — the device executes queued programs in order,
+    so this measures true device time + RTT/n (per-call readbacks through
+    a tunneled platform would add ~30 ms of jittery latency to each)."""
     for _ in range(warmup):
         res = fn()
     _force(res)
-    ts = []
+    t0 = time.perf_counter()
+    last = None
     for _ in range(n):
-        t0 = time.perf_counter()
-        _force(fn())
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        last = fn()
+    _force(last)
+    return (time.perf_counter() - t0) / n
 
 
 def _force(res):
