@@ -163,7 +163,9 @@ class PlannedBackend:
     DENSE_MIN_ORIGINS = 2
     DENSE_MAX_ORDER = 16384
     WINDOW_MAX_STRIDE = 256   # wider targets use elementwise block scatter
-    WINDOW_MIN_ELEMS = 512    # smaller windows are cheaper elementwise
+    WINDOW_MIN_ELEMS = 1 << 62  # windows disabled: consolidated elementwise
+    #                             scatters beat per-window DMA overheads on
+    #                             every shape profiled so far
     #                           (TPU window scatters cost ~us each; element
     #                           scatters ~10ns/el)
 
