@@ -314,18 +314,29 @@ class Optimizer:
     # -- step -----------------------------------------------------------
     def apply_step(self, values_list, step_vec):
         """Retract tangent step (internal ordering) onto each family."""
-        out = list(values_list)
-        for fi, fam in enumerate(self.families):
-            if fam.fixed:
-                continue
-            gid = self._fam_base[fi] + np.arange(fam.count)
-            vec_off = np.asarray(self.solver.accessor().param_start(gid),
-                                 dtype=np.int32)
-            idx = jnp.asarray(vec_off)[:, None] + \
-                jnp.arange(fam.tangent_dim)[None, :]
-            deltas = step_vec[idx]
-            out[fi] = jax.vmap(fam.tangent_step)(values_list[fi], deltas)
-        return out
+        if getattr(self, "_step_idx", None) is None:
+            acc = self.solver.accessor()
+            self._step_idx = []
+            for fi, fam in enumerate(self.families):
+                if fam.fixed:
+                    self._step_idx.append(None)
+                    continue
+                gid = self._fam_base[fi] + np.arange(fam.count)
+                vec_off = np.asarray(acc.param_start(gid), dtype=np.int32)
+                self._step_idx.append(jnp.asarray(
+                    vec_off[:, None] + np.arange(fam.tangent_dim)[None, :]))
+
+            def step_fn(values_list, step_vec, idx_list):
+                out = list(values_list)
+                for fi, fam in enumerate(self.families):
+                    if idx_list[fi] is None:
+                        continue
+                    deltas = step_vec[idx_list[fi]]
+                    out[fi] = jax.vmap(fam.tangent_step)(
+                        values_list[fi], deltas)
+                return out
+            self._jit_step = jax.jit(step_fn)
+        return self._jit_step(list(values_list), step_vec, self._step_idx)
 
     def _solve(self, hdata, grad, settings: OptimizerSettings):
         solver = self.solver
