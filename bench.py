@@ -130,6 +130,16 @@ def main():
         f = solver.factor(hdata)
         ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
         log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
+        # end-to-end LM iteration (grad/hess assembly + factor + solve):
+        # the Theseus-style inner loop
+        def lm_iter():
+            c, g, h = opt.compute_grad_hess(values, dtype=jnp.float32)
+            h = h.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+            ff = solver.factor(h)
+            return solver.solve(ff, -g)
+        t_it = time_op(lm_iter, n=3, warmup=1)
+        log(f"full LM iteration (grad/hess+factor+solve): "
+            f"{t_it*1e3:.2f} ms")
         # reference CUDA full-system factor on venice-like shapes ~ scaled;
         # use BaAtLargeBench problem-257 CUDA factor ~0.31s as anchor
         ref_cuda_s = 0.31
