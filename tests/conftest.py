@@ -8,9 +8,40 @@ validate numerics (float64 oracles need CPU) and multi-device sharding
 import os
 import sys
 
-# force host CPU (numeric oracles need native float64; the surrounding
-# environment may preset a TPU platform) and detach any remote-compile
-# relay hooks so a wedged tunnel can't stall CPU-only test runs
+# Tests must run on host CPU (numeric oracles need native float64) with
+# no remote-compile relay hooks: some environments install a sitecustomize
+# (via PYTHONPATH) that routes EVERY XLA compile through a TPU tunnel at
+# interpreter startup — far too early for in-process cleanup. Re-exec the
+# interpreter once with a scrubbed environment in that case.
+_NEEDS_CLEAN_RELAUNCH = (
+    "axon_site" in os.environ.get("PYTHONPATH", "")
+    and not os.environ.get("_BASPACHO_TPU_CLEAN_REEXEC"))
+
+
+def pytest_configure(config):
+    """Relaunch the test run in a scrubbed environment when a TPU
+    remote-compile sitecustomize is active (it hooks every XLA compile at
+    interpreter start — too early for in-process cleanup)."""
+    if not _NEEDS_CLEAN_RELAUNCH:
+        return
+    import subprocess
+
+    env = dict(os.environ)
+    env["_BASPACHO_TPU_CLEAN_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if "axon_site" not in p)
+    args = sys.argv[1:] if sys.argv and "pytest" in sys.argv[0] \
+        else sys.argv
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    rc = subprocess.run([sys.executable, "-m", "pytest"] + args,
+                        env=env).returncode
+    os._exit(rc)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 sys.path[:] = [p for p in sys.path if "axon_site" not in p]
