@@ -23,14 +23,35 @@ _LIB = None
 _TRIED = False
 
 
+def _maybe_build(native_dir: str) -> None:
+    """Build (or rebuild) the shared object from source when missing or
+    stale. The binary is not checked into version control — it is always
+    produced from the committed symbolic.cpp, so it can't silently drift
+    from source (round-1 advisor finding)."""
+    src = os.path.join(native_dir, "symbolic.cpp")
+    so = os.path.join(native_dir, "libbaspacho_symbolic.so")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", native_dir, "-s"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass  # pure-Python fallbacks cover everything
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.abspath(__file__))
+    native_dir = os.path.join(here, "..", "native")
+    _maybe_build(native_dir)
     candidates = [
-        os.path.join(here, "..", "native", "libbaspacho_symbolic.so"),
+        os.path.join(native_dir, "libbaspacho_symbolic.so"),
         os.path.join(here, "libbaspacho_symbolic.so"),
     ]
     for path in candidates:

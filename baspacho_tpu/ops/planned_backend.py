@@ -264,6 +264,10 @@ class PlannedBackend:
                 (sk.span_start[spans + 1] <= region_end)
             st = int(sk.col_stride[t])
             s0, s1 = int(sk.lump_to_span[t]), int(sk.lump_to_span[t + 1])
+            nd_t = s1 - s0  # chains [0, nd_t) form the diag block; the
+            # padded layout has a storage gap at this boundary (below
+            # panel starts at panel_base + st*st), so row runs must split
+            # there — same rule as _build_pairs
             own = np.arange(s0, s1)
             own_keep = (sk.span_start[own] >= region_start) & \
                 (sk.span_start[own + 1] <= region_end)
@@ -275,11 +279,14 @@ class PlannedBackend:
                         sk.span_start[own[ci]]),                      # wc
                     int(sk.span_start[own[ci]]) - region_start))      # gc0
             for ri, rj in runs(spans, keep):
-                rs = int(np.sum(span_size[spans[ri:rj + 1]]))
-                gr0 = int(sk.span_start[spans[ri]]) - region_start
-                off = int(sk.chain_data[tcs + ri])
-                for c0, wc, gc0 in col_runs:
-                    slices.append((off, rs, st, c0, wc, gr0, gc0))
+                segs = ([(ri, rj)] if rj < nd_t or ri >= nd_t
+                        else [(ri, nd_t - 1), (nd_t, rj)])
+                for pi, pj in segs:
+                    rs = int(np.sum(span_size[spans[pi:pj + 1]]))
+                    gr0 = int(sk.span_start[spans[pi]]) - region_start
+                    off = int(sk.chain_data[tcs + pi])
+                    for c0, wc, gc0 in col_runs:
+                        slices.append((off, rs, st, c0, wc, gr0, gc0))
             if len(slices) > self.MAX_SLICES:
                 return None  # too fragmented: block-pair path wins
         return {"region_start": region_start, "region": region,

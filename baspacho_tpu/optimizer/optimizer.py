@@ -378,6 +378,7 @@ class Optimizer:
         damp_idx = jnp.asarray(self.solver.skel.damp_indices())
         for it in range(settings.max_iters):
             accepted = False
+            new_cost = cost  # stays = cost if no trial step ever runs
             while lam <= settings.max_damping:
                 damped = hdata.at[damp_idx].mul(1.0 + lam)
                 step = self._solve(damped, grad, settings)

@@ -92,3 +92,34 @@ def test_planned_batched_dense_update_path():
         dense = solver.skel.densify(datas[b], fill_upper_half=True)
         L = np.tril(solver.skel.densify(single))
         assert np.max(np.abs(L @ L.T - dense)) < 1e-8
+
+
+def test_dense_update_run_crossing_diag_below_boundary():
+    """Regression: a dense-update row run whose below span is id-consecutive
+    with the target's own spans must split at the diag/below storage
+    boundary (padded panels have a gap at panel_base + stride^2). Structure
+    from the round-1 advisor repro: span sizes [2,2,3,3], single-span
+    lumps, lower-half columns {0:[0,2,3], 1:[1,2,3], 2:[2,3], 3:[3]} —
+    target lump 2's run [2,3] crosses its own-span boundary."""
+    from baspacho_tpu.block_matrix import CoalescedBlockMatrixSkel
+    from baspacho_tpu.ops.planned_backend import storage_pad
+    from baspacho_tpu.solver import Solver
+    from baspacho_tpu.testing import random_spd_data
+
+    span_start = [0, 2, 4, 7, 10]
+    lump_to_span = [0, 1, 2, 3, 4]
+    cols = {0: [0, 2, 3], 1: [1, 2, 3], 2: [2, 3], 3: [3]}
+    col_ptr = np.cumsum([0] + [len(cols[i]) for i in range(4)])
+    row_ind = np.concatenate([cols[i] for i in range(4)])
+    skel = CoalescedBlockMatrixSkel(span_start, lump_to_span, col_ptr,
+                                    row_ind, pad_fn=storage_pad)
+    solver = Solver(skel, [], np.arange(4), BackendType.PLANNED)
+    sched = solver.backend._factor_schedule(0, skel.num_lumps)
+    assert any(lev[3] is not None for lev in sched), "dense path not hit"
+
+    data = random_spd_data(skel.data_size, skel.order, 5)
+    data = np.asarray(skel.damp(data, 0.0, skel.order * 1.5))
+    dense = skel.densify(data, fill_upper_half=True)
+    l_oracle = np.linalg.cholesky(dense)
+    f = np.asarray(solver.factor(data))
+    assert np.max(np.abs(np.tril(skel.densify(f)) - l_oracle)) < 1e-10
