@@ -35,7 +35,7 @@ import numpy as np
 
 from ..solver import BackendType, Settings, create_solver
 from ..sparse_structure import SparseStructure
-from ..utils import cum_sum_vec
+from ..utils import cum_sum_vec, with_matmul_precision
 from .pcg import pcg
 from .preconditioner import IdentityPrecond
 from .soft_loss import TrivialLoss
@@ -264,14 +264,15 @@ class Optimizer:
                     total = total + 0.5 * jnp.sum(
                         ff.loss.val(jnp.sum(r * r, axis=-1)))
                 return total
-            self._jit_cost = jax.jit(cost_fn)
+            self._jit_cost = jax.jit(with_matmul_precision(cost_fn))
         return self._jit_cost(list(values_list), aux)
 
     def compute_grad_hess(self, values_list, dtype=None):
         aux = self._gather_aux()
         if getattr(self, "_jit_gh", None) is None:
-            self._jit_gh = jax.jit(self._grad_hess_impl,
-                                   static_argnames=("dtype",))
+            self._jit_gh = jax.jit(
+                with_matmul_precision(self._grad_hess_impl),
+                static_argnames=("dtype",))
         dt = jnp.dtype(dtype) if dtype is not None else \
             jnp.asarray(values_list[0]).dtype
         return self._jit_gh(list(values_list), aux, dtype=jnp.dtype(dt).name)
@@ -335,7 +336,7 @@ class Optimizer:
                     out[fi] = jax.vmap(fam.tangent_step)(
                         values_list[fi], deltas)
                 return out
-            self._jit_step = jax.jit(step_fn)
+            self._jit_step = jax.jit(with_matmul_precision(step_fn))
         return self._jit_step(list(values_list), step_vec, self._step_idx)
 
     def _solve(self, hdata, grad, settings: OptimizerSettings):

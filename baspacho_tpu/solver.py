@@ -33,7 +33,7 @@ from .ops.plan import build_plan
 from .ops.ref_backend import UnrolledBackend
 from .sparse_structure import SparseStructure
 from .utils import (compose_permutations, cum_sum_vec, inverse_permutation,
-                    is_strictly_increasing)
+                    is_strictly_increasing, with_matmul_precision)
 
 
 class BackendType(enum.Enum):
@@ -144,14 +144,22 @@ class Solver:
         """Build + jit a backend function. Builders return (fn, aux) where
         `aux` is a list of large plan index arrays passed as runtime
         operands — embedding them as constants makes XLA lowering and
-        (remote) compilation pathologically slow."""
+        (remote) compilation pathologically slow.
+
+        All ops trace under `default_matmul_precision("highest")`: on TPU
+        the default lets float32 dot inputs round to bfloat16 on the MXU,
+        which degrades factorization accuracy ~100x (measured 3.7e-4 vs
+        3.8e-6 max |LL^T - A| on a small SPD problem) and breaks the
+        reference's float accuracy contract (FactorTest.cpp epsilons).
+        Highest precision uses multi-pass MXU f32 — slower per matmul but
+        still far ahead of the accuracy/speed tradeoff of f64 emulation."""
         entry = self._fns.get(key)
         if entry is None:
             fn, aux = builder()
             aux = tuple(jnp.asarray(a) for a in aux)
             if vmap_axes is not None:
                 fn = jax.vmap(fn, in_axes=(*vmap_axes, None))
-            entry = (jax.jit(fn), aux)
+            entry = (jax.jit(with_matmul_precision(fn)), aux)
             self._fns[key] = entry
         return entry
 

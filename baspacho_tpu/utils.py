@@ -115,3 +115,21 @@ class OpStat:
             f"avg: {avg * 1e3:.3f}ms, max: {self.max_time * 1e3:.3f}ms, "
             f"last: {self.last_time * 1e3:.3f}ms"
         )
+
+
+def with_matmul_precision(fn, precision: str = "highest"):
+    """Wrap `fn` so it traces under jax.default_matmul_precision(...).
+
+    On TPU the default lets float32 dot operands round to bfloat16 on the
+    MXU; all library numeric ops trace at highest precision to honor the
+    reference's float accuracy contract (see Solver._get)."""
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(precision):
+            return fn(*args, **kwargs)
+
+    return wrapped
