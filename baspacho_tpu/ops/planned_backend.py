@@ -75,6 +75,10 @@ def _pad_pow2(x: np.ndarray, floor: int) -> np.ndarray:
     return np.int64(1) << np.ceil(np.log2(x)).astype(np.int64)
 
 
+def _ceil_pow2(x: int) -> int:
+    return 1 if x <= 1 else int(2 ** int(np.ceil(np.log2(x))))
+
+
 @dataclass
 class LumpBucket:
     """Same-padded-shape supernode panels factored as one batched op.
@@ -158,10 +162,10 @@ class PlannedBackend:
         return sched
 
     # dense-update heuristics: a level whose columns scatter into many
-    # small fragments is cheaper as one dense U = W W^T GEMM + contiguous
-    # slice subtractions (requires a moderate matrix order)
-    DENSE_MIN_ORIGINS = 2
-    DENSE_MAX_ORDER = 16384
+    # small fragments is cheaper as chunked dense GEMMs into a compact
+    # update matrix U + contiguous slice subtractions
+    DENSE_MIN_ORIGINS = 1
+    DENSE_MAX_ORDER = 16384   # max compact region (touched rows) of U
     WINDOW_MAX_STRIDE = 256   # wider targets use elementwise block scatter
     WINDOW_MIN_ELEMS = 1 << 62  # windows disabled: consolidated elementwise
     #                             scatters beat per-window DMA overheads on
@@ -169,16 +173,25 @@ class PlannedBackend:
     #                           (TPU window scatters cost ~us each; element
     #                           scatters ~10ns/el)
 
+    # cost-model constants for the dense-vs-pairs decision (measured on
+    # TPU v5e: XLA elementwise gather+scatter ~20ns/element; MXU f32
+    # highest-precision effective throughput ~2e13 flop/s; per-XLA-op
+    # launch overhead ~2us)
+    ELEM_NS = 20e-9
+    MXU_FLOPS = 2.0e13
+    OP_US = 2e-6
+
     def _build_level(self, lds, with_below_idx=False):
         """Bucket the level's lumps; assign product-buffer offsets to
         buckets with below rows; enumerate assembly block pairs (or mark
-        the level for the dense W W^T update path)."""
+        the level for the dense compact-U update path). The two assembly
+        mechanisms are costed against each other per level."""
         lump_buckets = self._bucket_lumps(lds, with_below_idx)
         n_origins = sum(1 for ld in lds if ld.total_rows > ld.size)
+        dense_info = None
         if n_origins >= self.DENSE_MIN_ORIGINS:
             dense_info = self._build_dense_update(lds, lump_buckets)
-            if dense_info is not None:
-                return lump_buckets, [], 0, dense_info
+
         prod_total = 0
         origin_pos: Dict[int, Tuple[int, int]] = {}
         for lb in lump_buckets:
@@ -189,25 +202,49 @@ class PlannedBackend:
                 origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
             prod_total += len(lb.off) * lb.rp * lb.rp
         pair_buckets = self._build_pairs(lds, origin_pos)
+
+        if dense_info is not None:
+            pairs_elems = sum(
+                len(pb.rs) * pb.rsp * (pb.csp or pb.stride)
+                for pb in pair_buckets)
+            prod_flops = sum(len(lb.off) * lb.rp * lb.rp * lb.cp
+                             for lb in lump_buckets)
+            pairs_cost = (pairs_elems + prod_total) * self.ELEM_NS + \
+                prod_flops / self.MXU_FLOPS + \
+                len(pair_buckets) * self.OP_US
+            if dense_info["cost"] < pairs_cost:
+                return lump_buckets, [], 0, dense_info
         return lump_buckets, pair_buckets, prod_total, None
 
     CHUNK_W = 2048     # max W width per accumulation chunk
     MAX_SLICES = 1024  # beyond this many unrolled slice ops, use pairs
+    SUB_FLOOR = 256    # min padded chunk sub-region (MXU-friendly)
 
     def _build_dense_update(self, lds, lump_buckets):
         """Plan the dense update: the level's update matrix
-        U = sum_o below_o below_o^T is accumulated over chunks of origin
-        columns as dense GEMMs U += W_c W_c^T, where W_c scatters a chunk's
-        below panels to their global row positions RELATIVE to the target
-        region (rows touched by this level). U holds exactly the level's
-        block-pair updates; targets receive it via contiguous chain-run
-        slice subtractions. This is the TPU-native form of the reference's
-        flattened block-pair sparse elimination (MatOpsCuda.cu:309): the
-        irregular work shrinks to one panel-volume scatter per chunk and
-        everything else is MXU GEMMs."""
+        U = sum_o below_o below_o^T is accumulated in a COMPACT row space
+        (the concatenation of the level's touched spans) over chunks of
+        origin columns. Each chunk touches only a sub-interval [lo, lo+sub)
+        of the compact space (tight when the ordering has locality, e.g.
+        BAL landmarks sorted by camera): its contribution is computed as
+
+            y_b = OneHot_b^T x_b          (rows placed by MXU matmul)
+            U[lo:lo+sub, lo:lo+sub] += sum_b y_b y_b^T   (one GEMM)
+
+        — cross-panel terms vanish because different panels occupy
+        disjoint columns of the implicit W. Using one-hot matmuls instead
+        of scatters keeps everything on the MXU (XLA scatters run at
+        ~20ns/element — 2000x below HBM bandwidth, measured). Chunks of
+        equal shape run under one lax.scan, so the XLA graph stays small
+        at any chunk count (527k-landmark BAL => ~1000 chunks).
+
+        U holds exactly the level's block-pair updates; targets receive it
+        via contiguous chain-run slice subtractions at compact coords.
+        This is the TPU-native form of the reference's flattened
+        block-pair sparse elimination (MatOpsCuda.cu:309)."""
         sk = self.plan.skel
         span_size = sk.span_start[1:] - sk.span_start[:-1]
-        # affected target spans / region bounds
+        # touched target spans -> compact row space
         touched = set()
         for ld in lds:
             o = ld.index
@@ -216,31 +253,79 @@ class PlannedBackend:
             touched.update(sk.chain_row_span[cs_ + nd:ce_].tolist())
         if not touched:
             return None
-        region_start = int(min(sk.span_start[s] for s in touched))
-        region_end = int(max(sk.span_start[s + 1] for s in touched))
-        region = region_end - region_start
-        if region > self.DENSE_MAX_ORDER:
+        tspans = np.array(sorted(touched), dtype=np.int64)
+        tsizes = span_size[tspans]
+        R = int(tsizes.sum())
+        if R > self.DENSE_MAX_ORDER:
             return None
+        # compact start of each touched span; untouched spans map to R
+        # (one trash row appended to U's row space during the W build)
+        compact_start = np.full(sk.num_spans + 1, R, dtype=np.int64)
+        compact_start[tspans] = np.concatenate([[0], np.cumsum(tsizes)[:-1]])
+        is_touched = np.zeros(sk.num_spans + 1, dtype=bool)
+        is_touched[tspans] = True
 
-        # chunks: per lump bucket, runs of members with total width <= CHUNK_W
-        chunks = []  # (bucket_idx, b0, b1)
+        # per-bucket compact below-row indices (B, rp); pad rows -> R
+        row_maps = []
+        for lb in lump_buckets:
+            if lb.rp == 0:
+                row_maps.append(None)
+                continue
+            rows_c = np.full((len(lb.off), lb.rp), R, dtype=np.int64)
+            for i, l in enumerate(lb.members):
+                ld = self.plan.lumps[l]
+                g = ld.below_row_idx  # global row positions
+                s = np.searchsorted(sk.span_start, g, side="right") - 1
+                rows_c[i, :len(g)] = compact_start[s] + (g - sk.span_start[s])
+            row_maps.append(_i32(rows_c))
+
+        # chunk groups: per bucket, consecutive member runs with total
+        # width <= CHUNK_W; each chunk's compact sub-interval [lo, lo+subp)
+        # padded to pow2 (>= SUB_FLOOR), capped at R; chunks grouped by
+        # (bucket, nb, subp) so each group runs as one lax.scan. Chunks
+        # whose one-hot tensor (nb*rp*subp) would be too large are split.
+        OH_CAP = 64 << 20  # max one-hot elements per chunk
+        groups: Dict[Tuple[int, int, int], list] = {}
+        pad_b = {}
+        total_flops = 0
         for bi, lb in enumerate(lump_buckets):
             if lb.rp == 0:
                 continue
+            B = len(lb.off)
             per = max(1, self.CHUNK_W // lb.cp)
-            for b0 in range(0, len(lb.off), per):
-                chunks.append((bi, b0, min(b0 + per, len(lb.off))))
-        if len(chunks) > 256:
-            # chunked-GEMM flops scale with chunks * region^2: beyond this
-            # the dense formulation wastes too much (very wide levels like
-            # full-scale BAL need the segment-sum kernel, future work)
+            rc = row_maps[bi]
+
+            def sub_of(b0, b1):
+                real = rc[b0:b1][rc[b0:b1] < R]
+                if not len(real):
+                    return None, None
+                lo, hi = int(real.min()), int(real.max()) + 1
+                subp = min(_ceil_pow2(max(hi - lo, self.SUB_FLOOR)), R)
+                if subp >= R:
+                    return 0, R
+                return max(0, min(lo, R - subp)), subp
+
+            work = [(b0, min(b0 + per, B)) for b0 in range(0, B, per)]
+            while work:
+                b0, b1 = work.pop()
+                lo, subp = sub_of(b0, b1)
+                if lo is None:
+                    continue
+                nb = b1 - b0
+                if nb > 1 and nb * lb.rp * subp > OH_CAP:
+                    mid = (b0 + b1) // 2
+                    work += [(b0, mid), (mid, b1)]
+                    continue
+                groups.setdefault((bi, nb, subp), []).append((b0, lo))
+                pad_b[bi] = max(pad_b.get(bi, B), b0 + nb)
+                total_flops += 2 * subp * subp * nb * lb.cp + \
+                    2 * nb * lb.rp * subp * lb.cp
+        if not groups:
             return None
 
         # per target lump: row runs x column runs over touched spans only
-        # (a target's own spans may be partly untouched — those columns
-        # receive no update and may even lie outside the region)
         touched_lumps = sorted({int(sk.span_to_lump[s]) for s in touched})
-        slices = []  # (panel_off, rows, stride, c0, wc, gr0_rel, gc0_rel)
+        slices = []  # (panel_off, rows, stride, c0, wc, gr0, gc0) compact
 
         def runs(spans, keep):
             i = 0
@@ -258,10 +343,7 @@ class PlannedBackend:
         for t in touched_lumps:
             tcs, tce = int(sk.chain_col_ptr[t]), int(sk.chain_col_ptr[t + 1])
             spans = sk.chain_row_span[tcs:tce]
-            # U is zero outside the touched pattern, so subtract over every
-            # in-region span (maximal contiguous runs, minimal slice count)
-            keep = (sk.span_start[spans] >= region_start) & \
-                (sk.span_start[spans + 1] <= region_end)
+            keep = is_touched[spans]
             st = int(sk.col_stride[t])
             s0, s1 = int(sk.lump_to_span[t]), int(sk.lump_to_span[t + 1])
             nd_t = s1 - s0  # chains [0, nd_t) form the diag block; the
@@ -269,28 +351,35 @@ class PlannedBackend:
             # panel starts at panel_base + st*st), so row runs must split
             # there — same rule as _build_pairs
             own = np.arange(s0, s1)
-            own_keep = (sk.span_start[own] >= region_start) & \
-                (sk.span_start[own + 1] <= region_end)
+            own_keep = is_touched[own]
             col_runs = []
             for ci, cj in runs(own, own_keep):
                 col_runs.append((
                     int(sk.span_start[own[ci]] - sk.lump_start[t]),  # c0
                     int(sk.span_start[own[cj] + 1] -
                         sk.span_start[own[ci]]),                      # wc
-                    int(sk.span_start[own[ci]]) - region_start))      # gc0
+                    int(compact_start[own[ci]])))                     # gc0
             for ri, rj in runs(spans, keep):
                 segs = ([(ri, rj)] if rj < nd_t or ri >= nd_t
                         else [(ri, nd_t - 1), (nd_t, rj)])
                 for pi, pj in segs:
+                    # split further at compact discontinuities (spans
+                    # consecutive by id are compact-consecutive iff both
+                    # touched, which keep guarantees — so none here)
                     rs = int(np.sum(span_size[spans[pi:pj + 1]]))
-                    gr0 = int(sk.span_start[spans[pi]]) - region_start
+                    gr0 = int(compact_start[spans[pi]])
                     off = int(sk.chain_data[tcs + pi])
                     for c0, wc, gc0 in col_runs:
                         slices.append((off, rs, st, c0, wc, gr0, gc0))
             if len(slices) > self.MAX_SLICES:
                 return None  # too fragmented: block-pair path wins
-        return {"region_start": region_start, "region": region,
-                "chunks": chunks, "slices": slices}
+
+        slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
+        cost = total_flops / self.MXU_FLOPS + \
+            len(slices) * 3 * self.OP_US + \
+            (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
+        return {"R": R, "groups": groups, "row_maps": row_maps,
+                "pad_b": pad_b, "slices": slices, "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -640,11 +729,15 @@ class PlannedBackend:
                 max_win = max(max_win, pb.rsp * pb.stride)
             if dense is not None:
                 dense["slots"] = {}
-                for bi, lb in enumerate(lump_buckets):
-                    if lb.rp == 0:
+                for bi, rm in enumerate(dense["row_maps"]):
+                    if rm is None:
                         continue
                     dense["slots"][bi] = len(aux_np)
-                    aux_np.append(lb.below_idx)
+                    aux_np.append(rm)
+                dense["gslots"] = {}
+                for key, items in dense["groups"].items():
+                    dense["gslots"][key] = len(aux_np)
+                    aux_np.append(_i32(np.array(items)))  # (nc, 2): b0, lo
 
         def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
@@ -654,32 +747,56 @@ class PlannedBackend:
             ext = jnp.concatenate([data, jnp.zeros(max_win, data.dtype)])
             for lump_buckets, pair_buckets, ptot, dense in sched:
                 if dense is not None:
-                    # factor the level; accumulate its whole update as
-                    # chunked dense GEMMs U += W_c W_c^T over the touched
-                    # row region, then subtract U into targets via
-                    # contiguous chain-run slices
-                    rg = dense["region"]
-                    r0 = dense["region_start"]
+                    # factor the level; accumulate its whole update into
+                    # the compact U via per-chunk one-hot-placed GEMMs
+                    # (lax.scan per uniform-shape chunk group), then
+                    # subtract U into targets via contiguous chain-run
+                    # slices (see _build_dense_update)
+                    R = dense["R"]
                     xs = {}
                     for bi, lb in enumerate(lump_buckets):
                         ext, x = self._factor_bucket(ext, lb,
                                                      want_below=True)
                         if x is not None:
                             xs[bi] = x
-                    U = jnp.zeros((rg, rg), ext.dtype)
-                    for bi, b0, b1 in dense["chunks"]:
+                    U = jnp.zeros((R, R), ext.dtype)
+                    for (bi, nb, subp), items in dense["groups"].items():
                         lb = lump_buckets[bi]
-                        x = xs[bi][b0:b1]
-                        bidx = aux[dense["slots"][bi]][b0:b1]
-                        rows = jnp.minimum(bidx - r0, rg)  # pads -> trash
-                        nb = b1 - b0
-                        col0 = (jnp.arange(nb, dtype=jnp.int32) *
-                                lb.cp)[:, None, None]
-                        ci = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, 1, lb.cp), 2)
-                        Wc = jnp.zeros((rg + 1, nb * lb.cp), ext.dtype)
-                        Wc = Wc.at[rows[:, :, None], col0 + ci].set(x)
-                        U = U + Wc[:rg] @ Wc[:rg].T
+                        x = xs[bi]
+                        rows_c = aux[dense["slots"][bi]]
+                        padB = dense["pad_b"][bi]
+                        if padB > x.shape[0]:
+                            padn = padB - x.shape[0]
+                            x = jnp.concatenate(
+                                [x, jnp.zeros((padn,) + x.shape[1:],
+                                              x.dtype)])
+                            rows_c = jnp.concatenate(
+                                [rows_c,
+                                 jnp.full((padn, rows_c.shape[1]), R,
+                                          jnp.int32)])
+                        b0lo = aux[dense["gslots"][(bi, nb, subp)]]
+
+                        def chunk_step(U, b0lo, x=x, rows_c=rows_c,
+                                       nb=nb, subp=subp):
+                            b0, lo = b0lo[0], b0lo[1]
+                            xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                            rc = jax.lax.dynamic_slice_in_dim(
+                                rows_c, b0, nb)
+                            ids = lo + jax.lax.broadcasted_iota(
+                                jnp.int32, (1, 1, subp), 2)
+                            oh = (rc[:, :, None] == ids).astype(x.dtype)
+                            y = jnp.einsum(
+                                "bir,bic->brc", oh, xc,
+                                preferred_element_type=x.dtype)
+                            usub = jnp.einsum(
+                                "brc,bsc->rs", y, y,
+                                preferred_element_type=x.dtype)
+                            Uc = jax.lax.dynamic_slice(
+                                U, (lo, lo), (subp, subp))
+                            return jax.lax.dynamic_update_slice(
+                                U, Uc + usub, (lo, lo)), None
+
+                        U, _ = jax.lax.scan(chunk_step, U, b0lo)
                     for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
                         region = jax.lax.dynamic_slice_in_dim(
                             ext, off, rows * st).reshape(rows, st)

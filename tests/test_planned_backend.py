@@ -114,6 +114,7 @@ def test_dense_update_run_crossing_diag_below_boundary():
     skel = CoalescedBlockMatrixSkel(span_start, lump_to_span, col_ptr,
                                     row_ind, pad_fn=storage_pad)
     solver = Solver(skel, [], np.arange(4), BackendType.PLANNED)
+    solver.backend.ELEM_NS = 1.0  # force the dense path on a tiny problem
     sched = solver.backend._factor_schedule(0, skel.num_lumps)
     assert any(lev[3] is not None for lev in sched), "dense path not hit"
 
