@@ -124,6 +124,8 @@ class PairBucket:
     kind: str = "window"    # "window" (contiguous whole-row chunks) or
     #                         "element" (block scatter, mixed strides)
     csp: int = 0
+    exact: bool = False     # element group with rsp == rs, csp == cs for
+    #                         every pair: no padding, no mask, no clip
 
 
 class PlannedBackend:
@@ -166,12 +168,6 @@ class PlannedBackend:
     # update matrix U + contiguous slice subtractions
     DENSE_MIN_ORIGINS = 1
     DENSE_MAX_ORDER = 16384   # max compact region (touched rows) of U
-    WINDOW_MAX_STRIDE = 256   # wider targets use elementwise block scatter
-    WINDOW_MIN_ELEMS = 1 << 62  # windows disabled: consolidated elementwise
-    #                             scatters beat per-window DMA overheads on
-    #                             every shape profiled so far
-    #                           (TPU window scatters cost ~us each; element
-    #                           scatters ~10ns/el)
 
     # cost-model constants for the dense-vs-pairs decision (measured on
     # TPU v5e: XLA elementwise gather+scatter ~20ns/element; MXU f32
@@ -205,8 +201,7 @@ class PlannedBackend:
 
         if dense_info is not None:
             pairs_elems = sum(
-                len(pb.rs) * pb.rsp * (pb.csp or pb.stride)
-                for pb in pair_buckets)
+                len(pb.rs) * pb.rsp * pb.csp for pb in pair_buckets)
             prod_flops = sum(len(lb.off) * lb.rp * lb.rp * lb.cp
                              for lb in lump_buckets)
             pairs_cost = (pairs_elems + prod_total) * self.ELEM_NS + \
@@ -216,9 +211,13 @@ class PlannedBackend:
                 return lump_buckets, [], 0, dense_info
         return lump_buckets, pair_buckets, prod_total, None
 
-    CHUNK_W = 2048     # max W width per accumulation chunk
-    MAX_SLICES = 1024  # beyond this many unrolled slice ops, use pairs
-    SUB_FLOOR = 256    # min padded chunk sub-region (MXU-friendly)
+    CHUNK_W = 2048       # max W width per accumulation chunk
+    UNROLL_SLICES = 192  # up to this many slices are unrolled XLA ops
+    #                      (static offsets, no masks); beyond, same-padded-
+    #                      shape groups run under lax.scan (~1us/slice)
+    MAX_SLICES = 200_000  # absolute graph-sanity cap on scanned slices
+    SUB_FLOOR = 256      # min padded chunk sub-region (MXU-friendly)
+    SCAN_SLICE_US = 1e-6  # modeled per-slice lax.scan iteration overhead
 
     def _build_dense_update(self, lds, lump_buckets):
         """Plan the dense update: the level's update matrix
@@ -254,6 +253,25 @@ class PlannedBackend:
         if not touched:
             return None
         tspans = np.array(sorted(touched), dtype=np.int64)
+        R0 = int(span_size[tspans].sum())
+        if R0 > self.DENSE_MAX_ORDER:
+            return None
+        # close small gaps between touched spans: an included-but-untouched
+        # span costs U area (2*R*gap elements of zero/traffic) but merges
+        # two target chain runs into one slice (~SCAN_SLICE_US + padded
+        # window traffic saved). Cap from equating the two costs.
+        gap_cap = min(512, int(1.3e5 / max(R0, 1)))
+        if gap_cap > 0 and len(tspans) > 1:
+            gaps = tspans[1:] - tspans[:-1] - 1
+            fill = []
+            csum = np.concatenate([[0], np.cumsum(span_size)])
+            for i in np.nonzero(gaps > 0)[0]:
+                a, b = int(tspans[i]) + 1, int(tspans[i + 1])
+                if csum[b] - csum[a] <= gap_cap:
+                    fill.extend(range(a, b))
+            if fill:
+                tspans = np.array(sorted(touched | set(fill)),
+                                  dtype=np.int64)
         tsizes = span_size[tspans]
         R = int(tsizes.sum())
         if R > self.DENSE_MAX_ORDER:
@@ -375,11 +393,41 @@ class PlannedBackend:
                 return None  # too fragmented: block-pair path wins
 
         slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
+        if len(slices) <= self.UNROLL_SLICES:
+            cost = total_flops / self.MXU_FLOPS + \
+                len(slices) * 3 * self.OP_US + \
+                (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
+            return {"R": R, "groups": groups, "row_maps": row_maps,
+                    "pad_b": pad_b, "slices": slices, "slice_scans": [],
+                    "u_pads": (0, 0, 0), "cost": cost}
+
+        # too many slices to unroll: group by padded (row, stride) shape
+        # and run each group as one lax.scan of masked window updates.
+        # U gets margins so every dynamic window read stays in bounds:
+        # rows [0, R + pr), cols [Lc + gc0 - c0, ... + st) with Lc = max
+        # stride (reads use a full-stride window anchored at gc0 - c0 so
+        # the target's c0 column offset needs no in-window dynamic slice).
+        sgroups: Dict[Tuple[int, int], list] = {}
+        pad_elems = 0
+        for off, rs, st, c0, wc, gr0, gc0 in slices:
+            rsp = _ceil_pow2(rs)
+            sgroups.setdefault((rsp, st), []).append(
+                (off, c0, gr0, gc0 - c0, rs, wc))
+            pad_elems += rsp * st
+        slice_scans = []
+        pr = lc = 0
+        for (rsp, st), items in sorted(sgroups.items()):
+            items.sort()
+            slice_scans.append((rsp, st, _i32(np.array(items))))
+            pr = max(pr, rsp)
+            lc = max(lc, st)
         cost = total_flops / self.MXU_FLOPS + \
-            len(slices) * 3 * self.OP_US + \
-            (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
+            len(slices) * self.SCAN_SLICE_US + \
+            len(slice_scans) * self.OP_US + \
+            (R * R + 2 * pad_elems) * 4 / 8e11
         return {"R": R, "groups": groups, "row_maps": row_maps,
-                "pad_b": pad_b, "slices": slices, "cost": cost}
+                "pad_b": pad_b, "slices": [], "slice_scans": slice_scans,
+                "u_pads": (pr, lc, lc), "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -492,41 +540,31 @@ class PlannedBackend:
             return []
         arr = np.array(parts, dtype=np.int64).T
         src, sstride, rs, cls, c0, trs, stride = arr
-        rsp = _pad_pow2(rs, PAD_COLS)
         out = []
 
-        # window path: big contiguous rectangles in narrow panels — one
-        # whole-window add per pair (bandwidth-bound)
-        is_win = (stride <= self.WINDOW_MAX_STRIDE) & \
-            (rsp * stride >= self.WINDOW_MIN_ELEMS)
-        wsel = np.nonzero(is_win)[0]
-        if len(wsel):
-            key = rsp[wsel] * 1000000 + stride[wsel]
-            order = wsel[np.argsort(key, kind="stable")]
-            ks = rsp[order] * 1000000 + stride[order]
-            bounds = np.concatenate([[0], np.nonzero(np.diff(ks))[0] + 1,
-                                     [len(ks)]])
-            for bi in range(len(bounds) - 1):
-                sel = order[bounds[bi]:bounds[bi + 1]]
-                out.append(PairBucket(
-                    rsp=int(rsp[sel[0]]), stride=int(stride[sel[0]]),
-                    src_base=_i32(src[sel]), src_stride=_i32(sstride[sel]),
-                    rs=_i32(rs[sel]), cs=_i32(cls[sel]), c0=_i32(c0[sel]),
-                    tgt_row_start=_i32(trs[sel])))
+        # (a "whole-window scatter" variant was measured at ~2-4us per
+        # window on v5e — windowed scatter_adds lower to per-window DMAs —
+        # and removed; elementwise scatters at ~20ns/element win at every
+        # profiled shape, and bulk fragmented levels go dense instead)
 
-        # element path: everything else, consolidated into at most two
-        # padded shape groups per level (small / large) with per-pair
-        # target strides — few scatter ops, modest padding waste
-        esel = np.nonzero(~is_win)[0]
+        # element path: exact-shape groups (scatter cost on TPU is
+        # ~20ns/element regardless of layout — measured — so the win is
+        # scattering ZERO padded elements and skipping the mask/clip).
+        # Shapes covering few pairs are folded into pow2-padded catch-all
+        # groups to bound the XLA op count.
+        esel = np.arange(len(rs))
         if len(esel):
-            csp_e = _pad_pow2(cls[esel], PAD_COLS)
-            small = (rsp[esel] <= 8) & (csp_e <= 8)
             MAX_ELEMS = 16_000_000  # cap materialized update tensor size
-            for group in (esel[small], esel[~small]):
-                if not len(group):
-                    continue
-                g_rsp = int(_pad_pow2(rs[group], PAD_COLS).max())
-                g_csp = int(_pad_pow2(cls[group], PAD_COLS).max())
+            MAX_EXACT_GROUPS = 24
+            shape_key = rs[esel] * 100000 + cls[esel]
+            uniq, counts = np.unique(shape_key, return_counts=True)
+            # largest shapes by pair count get exact groups
+            exact = set(uniq[np.argsort(-counts)][:MAX_EXACT_GROUPS]
+                        .tolist()) if len(uniq) > MAX_EXACT_GROUPS \
+                else set(uniq.tolist())
+            is_exact = np.isin(shape_key, list(exact))
+
+            def emit(group, g_rsp, g_csp, exact_shape):
                 per = max(1, MAX_ELEMS // (g_rsp * g_csp))
                 for s0 in range(0, len(group), per):
                     g = group[s0:s0 + per]
@@ -538,7 +576,23 @@ class PlannedBackend:
                         c0=_i32(c0[g]), tgt_row_start=_i32(trs[g]),
                         tgt_stride=_i32(stride[g]), kind="element")
                     pb.csp = g_csp
+                    pb.exact = exact_shape
                     out.append(pb)
+
+            for key in sorted(exact):
+                g = esel[shape_key == key]
+                emit(g, int(rs[g[0]]), int(cls[g[0]]), True)
+            rest = esel[~is_exact]
+            if len(rest):
+                rsp_e = _pad_pow2(rs[rest], PAD_COLS)
+                csp_e = _pad_pow2(cls[rest], PAD_COLS)
+                small = (rsp_e <= 8) & (csp_e <= 8)
+                for group in (rest[small], rest[~small]):
+                    if not len(group):
+                        continue
+                    emit(group,
+                         int(_pad_pow2(rs[group], PAD_COLS).max()),
+                         int(_pad_pow2(cls[group], PAD_COLS).max()), False)
         return out
 
     def _solve_schedule(self, start: int, end: int) -> List[List[LumpBucket]]:
@@ -656,43 +710,25 @@ class PlannedBackend:
 
     def _apply_pairs(self, ext, flat, pair_buckets, aux):
         """Subtract all run blocks from the product buffer into the factor
-        via contiguous-window scatter-adds: each block is one
-        (rsp x stride) window of consecutive panel rows; values outside
-        the actual (rs, c0..c0+cs) rectangle are zero, so the window add
-        is a no-op there (this is what makes whole-window scatters legal
-        and fast). Descriptor arrays arrive via `aux` (runtime operands)."""
+        via elementwise block scatter-adds over the (rs x cs) rectangles
+        with per-pair target strides. Exact-shape groups carry no padding:
+        no mask, no clip, no trash redirection. Descriptor arrays arrive
+        via `aux` (runtime operands)."""
         for pb in pair_buckets:
             (sb_, ss_, rs_, cs_, c0_, tr_,
              ts_) = aux[pb.aux_slot:pb.aux_slot + 7]
-            if pb.kind == "window":
-                # whole-window adds: (rsp x stride) contiguous rows
-                w = pb.stride
-                r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 1)
-                c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, w), 2)
-                src = sb_[:, None, None] + r * ss_[:, None, None] + \
-                    (c - c0_[:, None, None])
+            csp = pb.csp
+            r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 1)
+            c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 2)
+            src = sb_[:, None, None] + r * ss_[:, None, None] + c
+            tgt = tr_[:, None, None] + c0_[:, None, None] + \
+                r * ts_[:, None, None] + c
+            if pb.exact:  # every (r, c) lane is real: no mask needed
+                ext = ext.at[tgt].add(-flat[src])
+            else:
                 vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
                 mask = (r < rs_[:, None, None]) & \
-                    (c >= c0_[:, None, None]) & \
-                    (c < (c0_ + cs_)[:, None, None])
-                upd = jnp.where(mask, -vals, 0.0).reshape(len(pb.rs), -1)
-                dnums = jax.lax.ScatterDimensionNumbers(
-                    update_window_dims=(1,), inserted_window_dims=(),
-                    scatter_dims_to_operand_dims=(0,))
-                ext = jax.lax.scatter_add(ext, tr_[:, None], upd, dnums,
-                                          unique_indices=False,
-                                          indices_are_sorted=False)
-            else:
-                # elementwise block scatter over the actual (rs x cs)
-                # rectangles with per-pair target strides
-                csp = pb.csp
-                r = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 1)
-                c = jax.lax.broadcasted_iota(jnp.int32, (1, pb.rsp, csp), 2)
-                src = sb_[:, None, None] + r * ss_[:, None, None] + c
-                vals = flat[jnp.clip(src, 0, flat.shape[0] - 1)]
-                mask = (r < rs_[:, None, None]) & (c < cs_[:, None, None])
-                tgt = tr_[:, None, None] + c0_[:, None, None] + \
-                    r * ts_[:, None, None] + c
+                    (c < cs_[:, None, None])
                 trash = ext.shape[0] - 2
                 ext = ext.at[jnp.where(mask, tgt, trash)].add(-vals)
         return ext
@@ -725,8 +761,6 @@ class PlannedBackend:
         order = sk.order
         for lump_buckets, pair_buckets, _, dense in sched:
             self._register_aux(pair_buckets, aux_np)
-            for pb in pair_buckets:
-                max_win = max(max_win, pb.rsp * pb.stride)
             if dense is not None:
                 dense["slots"] = {}
                 for bi, rm in enumerate(dense["row_maps"]):
@@ -738,6 +772,11 @@ class PlannedBackend:
                 for key, items in dense["groups"].items():
                     dense["gslots"][key] = len(aux_np)
                     aux_np.append(_i32(np.array(items)))  # (nc, 2): b0, lo
+                dense["sslots"] = []
+                for rsp, st, desc in dense["slice_scans"]:
+                    dense["sslots"].append((rsp, st, len(aux_np)))
+                    aux_np.append(desc)  # (S, 6) per-slice descriptors
+                    max_win = max(max_win, rsp * st)
 
         def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
@@ -759,7 +798,10 @@ class PlannedBackend:
                                                      want_below=True)
                         if x is not None:
                             xs[bi] = x
-                    U = jnp.zeros((R, R), ext.dtype)
+                    # margins let scanned slice reads use full-stride
+                    # windows anchored at gc0 - c0 without going OOB
+                    upr, ulc, urc = dense["u_pads"]
+                    U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
                     for (bi, nb, subp), items in dense["groups"].items():
                         lb = lump_buckets[bi]
                         x = xs[bi]
@@ -792,18 +834,41 @@ class PlannedBackend:
                                 "brc,bsc->rs", y, y,
                                 preferred_element_type=x.dtype)
                             Uc = jax.lax.dynamic_slice(
-                                U, (lo, lo), (subp, subp))
+                                U, (lo, ulc + lo), (subp, subp))
                             return jax.lax.dynamic_update_slice(
-                                U, Uc + usub, (lo, lo)), None
+                                U, Uc + usub, (lo, ulc + lo)), None
 
                         U, _ = jax.lax.scan(chunk_step, U, b0lo)
                     for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
                         region = jax.lax.dynamic_slice_in_dim(
                             ext, off, rows * st).reshape(rows, st)
                         region = region.at[:, c0:c0 + wc].add(
-                            -U[gr0:gr0 + rows, gc0:gc0 + wc])
+                            -U[gr0:gr0 + rows, ulc + gc0:ulc + gc0 + wc])
                         ext = jax.lax.dynamic_update_slice_in_dim(
                             ext, region.reshape(-1), off, axis=0)
+                    # fragmented targets: same-padded-shape slice groups
+                    # under lax.scan — masked full-stride window RMWs
+                    for rsp, st, slot in dense["sslots"]:
+                        desc = aux[slot]
+
+                        def slice_step(ext, d, rsp=rsp, st=st, U=U,
+                                       ulc=ulc):
+                            off, c0, gr0, gc0c, rows, wc = (
+                                d[0], d[1], d[2], d[3], d[4], d[5])
+                            region = jax.lax.dynamic_slice_in_dim(
+                                ext, off, rsp * st).reshape(rsp, st)
+                            usub = jax.lax.dynamic_slice(
+                                U, (gr0, ulc + gc0c), (rsp, st))
+                            ri = jax.lax.broadcasted_iota(
+                                jnp.int32, (rsp, st), 0)
+                            ci = jax.lax.broadcasted_iota(
+                                jnp.int32, (rsp, st), 1)
+                            m = (ri < rows) & (ci >= c0) & (ci < c0 + wc)
+                            region = region - jnp.where(m, usub, 0.0)
+                            return jax.lax.dynamic_update_slice_in_dim(
+                                ext, region.reshape(-1), off, axis=0), None
+
+                        ext, _ = jax.lax.scan(slice_step, ext, desc)
                     continue
                 prods = []
                 for lb in lump_buckets:

@@ -11,7 +11,7 @@ from baspacho_tpu.testing import (SparseMatGenerator, random_spd_data,
                                   columns_to_lower_csr,
                                   make_independent_elim_set)
 
-BACKENDS = [BackendType.REF]
+BACKENDS = [BackendType.REF, BackendType.PLANNED]
 
 
 def factor_oracle_check(solver, seed, tol=1e-10, dtype=np.float64):
@@ -74,22 +74,63 @@ def test_factor_auto_elim_detection(seed):
     factor_oracle_check(solver, seed)
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(2))
-def test_factor_float32(seed):
+def test_factor_float32(backend, seed):
     gen = SparseMatGenerator.gen_flat(18, 0.3, seed=seed + 50)
     ss = gen.to_structure()
     param_sizes = np.full(ss.order, 2)
-    solver = create_solver(Settings(), param_sizes, ss)
+    solver = create_solver(Settings(backend=backend), param_sizes, ss)
     factor_oracle_check(solver, seed, tol=5e-4, dtype=np.float32)
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(2))
-def test_factor_elim_last_ids(seed):
+def test_factor_meridians(backend, seed):
+    """Meridian (pole-connected tracks) topology — deep, fragmented trees,
+    the planned backend's hardest assembly case (reference
+    TestingMatGen.cpp:87 family)."""
+    gen = SparseMatGenerator.gen_meridians(3, 40, 0.25, 6, 12, 2, 2,
+                                           seed=seed + 80)
+    ss = gen.to_structure()
+    rng = np.random.RandomState(seed)
+    param_sizes = rng.randint(1, 4, size=ss.order)
+    solver = create_solver(Settings(backend=backend), param_sizes, ss)
+    factor_oracle_check(solver, seed)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_factor_grid_planned_medium(seed):
+    """Medium grid through the planned backend: exercises multiple levels,
+    exact-shape element scatter groups, and the dense/pairs cost choice."""
+    gen = SparseMatGenerator.gen_grid(12, 12, 0.4, seed=seed + 90)
+    ss = gen.to_structure()
+    param_sizes = np.full(ss.order, 3)
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           param_sizes, ss)
+    factor_oracle_check(solver, seed)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_factor_level_reorder(seed):
+    """level_reorder=True places (level, shape) buckets contiguously; the
+    full oracle must still hold."""
+    gen = SparseMatGenerator.gen_grid(8, 8, 0.5, seed=seed + 95)
+    ss = gen.to_structure()
+    param_sizes = np.full(ss.order, 3)
+    solver = create_solver(Settings(backend=BackendType.PLANNED,
+                                    level_reorder=True), param_sizes, ss)
+    factor_oracle_check(solver, seed)
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+@pytest.mark.parametrize("seed", range(2))
+def test_factor_elim_last_ids(backend, seed):
     gen = SparseMatGenerator.gen_flat(25, 0.3, seed=seed + 60)
     ss = gen.to_structure()
     param_sizes = np.full(ss.order, 2)
     elim_last = {3, 7, 11}
-    solver = create_solver(Settings(), param_sizes, ss,
+    solver = create_solver(Settings(backend=backend), param_sizes, ss,
                            elim_last_ids=elim_last)
     # params in elim_last must be mapped to the final spans
     spans = sorted(int(solver.permutation[i]) for i in elim_last)

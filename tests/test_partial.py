@@ -13,7 +13,7 @@
 import numpy as np
 import pytest
 
-from baspacho_tpu import Settings, create_solver
+from baspacho_tpu import BackendType, Settings, create_solver
 from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
 
 
@@ -22,12 +22,15 @@ def maxabs(a):
     return np.max(np.abs(a)) if a.size else 0.0
 
 
-def build(seed, n=40, fill=0.06):
+BACKENDS = [BackendType.REF, BackendType.PLANNED]
+
+
+def build(seed, n=40, fill=0.06, backend=BackendType.REF):
     gen = SparseMatGenerator.gen_flat(n, fill, seed=seed)
     ss = gen.to_structure()
     rng = np.random.RandomState(seed)
     param_sizes = rng.randint(2, 4, size=ss.order)
-    solver = create_solver(Settings(), param_sizes, ss)
+    solver = create_solver(Settings(backend=backend), param_sizes, ss)
     assert solver.skel.num_lumps >= 2, "test problem must not fully merge"
     data = random_spd_data(solver.data_size, solver.order, seed + 500)
     data = solver.skel.damp(data, 0.0, solver.order * 1.5)
@@ -40,9 +43,10 @@ def mid_lump_span(solver):
     return int(solver.skel.lump_to_span[max(1, nl // 2)])
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(4))
-def test_factor_up_to_schur(seed):
-    solver, data = build(seed)
+def test_factor_up_to_schur(backend, seed):
+    solver, data = build(seed, backend=backend)
     t = mid_lump_span(solver)
     o = solver.span_vector_offset(t)
     m = solver.skel.densify(data, fill_upper_half=True)
@@ -63,18 +67,20 @@ def test_factor_up_to_schur(seed):
     assert maxabs(((schur - schur_want) * mask)) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(4))
-def test_factor_up_to_plus_from_equals_full(seed):
-    solver, data = build(seed)
+def test_factor_up_to_plus_from_equals_full(backend, seed):
+    solver, data = build(seed, backend=backend)
     t = mid_lump_span(solver)
     full = np.asarray(solver.factor(data))
     part = solver.factor_from(np.asarray(solver.factor_up_to(data, t)), t)
     assert maxabs((full - np.asarray(part))) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(3))
-def test_partial_solves(seed):
-    solver, data = build(seed)
+def test_partial_solves(backend, seed):
+    solver, data = build(seed, backend=backend)
     t = mid_lump_span(solver)
     o = solver.span_vector_offset(t)
     part = np.asarray(solver.factor_up_to(data, t))
@@ -109,9 +115,10 @@ def test_partial_solves(seed):
     assert maxabs((got - want)) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(3))
-def test_add_mv_from(seed):
-    solver, data = build(seed)
+def test_add_mv_from(backend, seed):
+    solver, data = build(seed, backend=backend)
     t = mid_lump_span(solver)
     o = solver.span_vector_offset(t)
     m = solver.skel.densify(data, fill_upper_half=True)
@@ -131,9 +138,10 @@ def test_add_mv_from(seed):
     assert maxabs((got - want)) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(3))
-def test_pseudo_factor(seed):
-    solver, data = build(seed)
+def test_pseudo_factor(backend, seed):
+    solver, data = build(seed, backend=backend)
     res = np.asarray(solver.pseudo_factor_from(data, 0))
     acc = solver.internal_accessor()
     sk = solver.skel

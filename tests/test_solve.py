@@ -4,19 +4,22 @@ solveL/solveLt/solve against dense triangular algebra with multiple RHS."""
 import numpy as np
 import pytest
 
-from baspacho_tpu import Settings, create_solver
+from baspacho_tpu import BackendType, Settings, create_solver
 from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
 
 
+BACKENDS = [BackendType.REF, BackendType.PLANNED]
+
+
 def make_solver_and_factor(n, fill, seed, psize_range=(2, 5), schur=0,
-                           elim_ranges=()):
+                           elim_ranges=(), backend=BackendType.REF):
     gen = SparseMatGenerator.gen_flat(n, fill, seed=seed)
     if schur:
         gen.add_schur_set(schur, 0.12)
     ss = gen.to_structure()
     rng = np.random.RandomState(seed)
     param_sizes = rng.randint(psize_range[0], psize_range[1], size=ss.order)
-    solver = create_solver(Settings(), param_sizes, ss,
+    solver = create_solver(Settings(backend=backend), param_sizes, ss,
                            sparse_elim_ranges=list(elim_ranges))
     data = random_spd_data(solver.data_size, solver.order, seed + 1000)
     data = solver.skel.damp(data, 0.0, solver.order * 1.5)
@@ -25,10 +28,12 @@ def make_solver_and_factor(n, fill, seed, psize_range=(2, 5), schur=0,
     return solver, factored, l_dense
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(4))
 @pytest.mark.parametrize("nrhs", [1, 5])
-def test_solve_l(seed, nrhs):
-    solver, factored, L = make_solver_and_factor(20, 0.3, seed + 10)
+def test_solve_l(backend, seed, nrhs):
+    solver, factored, L = make_solver_and_factor(20, 0.3, seed + 10,
+                                                 backend=backend)
     rng = np.random.RandomState(seed)
     rhs = rng.rand(solver.order, nrhs)
     got = np.asarray(solver.solve_l(factored, rhs if nrhs > 1 else rhs[:, 0]))
@@ -38,10 +43,12 @@ def test_solve_l(seed, nrhs):
     assert np.max(np.abs(got - want)) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(4))
 @pytest.mark.parametrize("nrhs", [1, 5])
-def test_solve_lt(seed, nrhs):
-    solver, factored, L = make_solver_and_factor(20, 0.3, seed + 20)
+def test_solve_lt(backend, seed, nrhs):
+    solver, factored, L = make_solver_and_factor(20, 0.3, seed + 20,
+                                                 backend=backend)
     rng = np.random.RandomState(seed)
     rhs = rng.rand(solver.order, nrhs)
     got = np.asarray(solver.solve_lt(factored,
@@ -52,9 +59,11 @@ def test_solve_lt(seed, nrhs):
     assert np.max(np.abs(got - want)) < 1e-9
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(3))
-def test_full_solve(seed):
-    solver, factored, L = make_solver_and_factor(22, 0.25, seed + 30)
+def test_full_solve(backend, seed):
+    solver, factored, L = make_solver_and_factor(22, 0.25, seed + 30,
+                                                 backend=backend)
     rng = np.random.RandomState(seed)
     rhs = rng.rand(solver.order, 3)
     got = np.asarray(solver.solve(factored, rhs))
@@ -62,10 +71,12 @@ def test_full_solve(seed):
     assert np.max(np.abs(got - want)) < 1e-8
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(2))
-def test_solve_with_elim_ranges(seed):
+def test_solve_with_elim_ranges(backend, seed):
     solver, factored, L = make_solver_and_factor(
-        15, 0.35, seed + 40, schur=60, elim_ranges=[0, 60])
+        15, 0.35, seed + 40, schur=60, elim_ranges=[0, 60],
+        backend=backend)
     rng = np.random.RandomState(seed)
     rhs = rng.rand(solver.order, 2)
     got = np.asarray(solver.solve(factored, rhs))
@@ -73,9 +84,11 @@ def test_solve_with_elim_ranges(seed):
     assert np.max(np.abs(got - want)) < 1e-8
 
 
+@pytest.mark.parametrize("backend", BACKENDS)
 @pytest.mark.parametrize("seed", range(2))
-def test_solve_batched(seed):
-    solver, factored, L = make_solver_and_factor(16, 0.3, seed + 50)
+def test_solve_batched(backend, seed):
+    solver, factored, L = make_solver_and_factor(16, 0.3, seed + 50,
+                                                 backend=backend)
     rng = np.random.RandomState(seed)
     batch = 4
     datas = np.stack([np.asarray(factored)] * batch)
