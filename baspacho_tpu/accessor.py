@@ -25,6 +25,20 @@ import numpy as np
 class CoalescedAccessor:
     def __init__(self, skel):
         self.skel = skel
+        self._chain_keys = None
+
+    def _keys(self) -> np.ndarray:
+        """Global sorted chain key (lump_of_chain * num_spans + row_span):
+        ascending in chain storage order, so ONE searchsorted resolves any
+        (col lump, row span) to its chain — no per-element bisect loops."""
+        if self._chain_keys is None:
+            sk = self.skel
+            chain_lump = np.repeat(
+                np.arange(sk.num_lumps, dtype=np.int64),
+                sk.chain_col_ptr[1:] - sk.chain_col_ptr[:-1])
+            self._chain_keys = (chain_lump * sk.num_spans +
+                                sk.chain_row_span)
+        return self._chain_keys
 
     def param_size(self, span) -> np.ndarray:
         s = self.skel.span_start
@@ -43,17 +57,11 @@ class CoalescedAccessor:
         lump = sk.span_to_lump[col_span]
         lump_size = sk.col_stride[lump]
         off_in_lump = sk.span_offset_in_lump[col_span]
-        start = sk.chain_col_ptr[lump]
-        end = sk.chain_col_ptr[lump + 1]
-        # vectorized bisect per element over its chain range
-        pos = np.empty(len(np.atleast_1d(row_span)), dtype=np.int64)
         rs = np.atleast_1d(row_span)
-        st = np.atleast_1d(start)
-        en = np.atleast_1d(end)
-        crs = sk.chain_row_span
-        for i in range(len(pos)):  # ranges differ per element; short loops
-            pos[i] = st[i] + np.searchsorted(crs[st[i]:en[i]], rs[i])
-        assert np.all(crs[pos] == rs), "block not present in factor"
+        pos = np.searchsorted(self._keys(),
+                              np.atleast_1d(lump) * sk.num_spans + rs)
+        assert np.all(sk.chain_row_span[pos] == rs), \
+            "block not present in factor"
         offs = sk.chain_data[pos] + np.atleast_1d(off_in_lump)
         strides = np.atleast_1d(lump_size)
         if np.isscalar(row_span) or row_span.ndim == 0:

@@ -103,9 +103,21 @@ def reprojection_residual(point, camera, uv):
 
 
 def make_random_bal(n_cams=6, n_pts=50, track_len=4, seed=0,
-                    noise=0.0) -> BalProblem:
+                    noise=0.0, track_mode="uniform", window=20,
+                    loop_frac=0.05) -> BalProblem:
     """Synthetic BAL-style problem for tests/benchmarks (the reference
-    ships real downloads; this generates a consistent random scene)."""
+    ships real downloads; this generates a consistent random scene).
+
+    track_mode:
+      * "uniform" — each point seen by track_len cameras drawn uniformly
+        (worst-case camera coupling; the reduced camera system densifies).
+      * "window"  — cameras form a trajectory; each point is seen by
+        track_len cameras inside a `window`-wide segment, with a
+        `loop_frac` fraction of points spanning a random long-range pair
+        of segments (loop closures). This matches real BAL capture
+        sessions and gives the camera-locality structure large-scale
+        solvers exploit; points come out sorted by first camera.
+    """
     rng = np.random.RandomState(seed)
     pts = rng.rand(n_pts, 3) * 4 - 2 + np.array([0, 0, 8.0])
     cams = np.zeros((n_cams, 9))
@@ -116,12 +128,27 @@ def make_random_bal(n_cams=6, n_pts=50, track_len=4, seed=0,
     cams[:, 7] = rng.randn(n_cams) * 1e-4
     cams[:, 8] = rng.randn(n_cams) * 1e-6
     obs_cam, obs_pt = [], []
-    for p in range(n_pts):
-        seen = rng.choice(n_cams, size=min(track_len, n_cams),
-                          replace=False)
-        for c in seen:
-            obs_cam.append(c)
-            obs_pt.append(p)
+    tl = min(track_len, n_cams)
+    if track_mode == "window":
+        w = min(window, n_cams)
+        base = np.sort(rng.randint(0, max(1, n_cams - w), size=n_pts))
+        for p in range(n_pts):
+            lo = int(base[p])
+            seen = lo + rng.choice(w, size=min(tl, w), replace=False)
+            if rng.rand() < loop_frac:  # loop closure: retarget half
+                lo2 = rng.randint(0, max(1, n_cams - w))
+                k = len(seen) // 2
+                seen[k:] = lo2 + rng.choice(w, size=len(seen) - k,
+                                            replace=False)
+            for c in seen:
+                obs_cam.append(int(c))
+                obs_pt.append(p)
+    else:
+        for p in range(n_pts):
+            seen = rng.choice(n_cams, size=tl, replace=False)
+            for c in seen:
+                obs_cam.append(c)
+                obs_pt.append(p)
     obs_cam = np.array(obs_cam)
     obs_pt = np.array(obs_pt)
     import jax

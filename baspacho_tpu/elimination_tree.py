@@ -103,10 +103,22 @@ class EliminationTree:
             np.bincount(col_of, weights=asmbl0, minlength=nseg),
             np.bincount(col_of, weights=asmbl1, minlength=nseg)], axis=1)
 
-        # per_row_stats[r] = [col, r_blocks, rows, r_blocks_down, rows_down]
-        # sorted by col — entry order (row-major groups) via stable sort
+        # per-row stats ([col, r_blocks, rows, r_blocks_down, rows_down]
+        # sorted by col) feed only the merge loop: the native path builds
+        # them in C++ from the filled CSC; the Python fallback builds them
+        # lazily via _build_per_row_stats()
+        self._csc_ptrs = tptr
+        self._csc_rows = rows
+        self._entry_stats = (col_of, psz_r, skipped_blocks, skipped_rows)
+        self.per_row_stats = None
+
+    def _build_per_row_stats(self) -> None:
+        if self.per_row_stats is not None:
+            return
+        rows = self._csc_rows
+        col_of, psz_r, skipped_blocks, skipped_rows = self._entry_stats
         order = np.argsort(rows, kind="stable")
-        per_row_stats: List[List[list]] = [[] for _ in range(ord_)]
+        per_row_stats: List[List[list]] = [[] for _ in range(self.ss.order)]
         for e in order:
             per_row_stats[rows[e]].append(
                 [int(col_of[e]), 1, int(psz_r[e]),
@@ -176,6 +188,19 @@ class EliminationTree:
     def compute_merges(self) -> None:
         ord_ = self.ss.order
         cm = self.comp_model
+
+        from . import native
+        res = native.try_compute_merges(
+            self._csc_ptrs, self._csc_rows, self.param_size, self.parent,
+            self.node_size, self.node_rows, self.node_row_blocks,
+            self.forbid_merge, self.syge_costs, self.asmbl_costs, cm,
+            MAX_SUPERNODE_SIZE)
+        if res is not None:
+            (self.merge_with, self.num_merged_nodes, self.num_merges,
+             self.syge_costs, self.asmbl_costs) = res
+            return
+
+        self._build_per_row_stats()
         self.num_merged_nodes = np.ones(ord_, dtype=np.int64)
         self.merge_with = np.full(ord_, -1, dtype=np.int64)
         self.num_merges = 0

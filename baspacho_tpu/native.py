@@ -76,6 +76,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_full_elim_fill_fill.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
     lib.bs_build_etree.restype = ctypes.c_int
     lib.bs_build_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.bs_compute_merges.restype = ctypes.c_int64
+    lib.bs_compute_merges.argtypes = [
+        ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p, i64p, i64p,
+        f64p, f64p, f64p, f64p, f64p, f64p, ctypes.c_int64, i64p, i64p]
 
 
 def _as_i64p(a: np.ndarray):
@@ -121,6 +126,53 @@ def try_full_elim_fill(ptrs: np.ndarray,
     if rc != 0:
         return None
     return out_ptrs, out_inds
+
+
+def try_compute_merges(csc_ptrs, csc_rows, psize, parent, node_size,
+                       node_rows, node_row_blocks, forbid_merge,
+                       syge_costs, asmbl_costs, comp_model,
+                       max_supernode_size):
+    """Greedy cost-model supernode merge loop (the symbolic-analysis hot
+    loop). Mutates node_size/num_merged the way the Python loop does;
+    returns (merge_with, num_merged, num_merges) or None when the native
+    library is unavailable. Bit-identical decisions to the Python loop
+    (same double arithmetic, same heap tie-breaking)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(parent)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def as_f64(a):
+        return np.ascontiguousarray(a, dtype=np.float64)
+
+    csc_ptrs = np.ascontiguousarray(csc_ptrs, dtype=np.int64)
+    csc_rows = np.ascontiguousarray(csc_rows, dtype=np.int64)
+    psize = np.ascontiguousarray(psize, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    node_rows = np.ascontiguousarray(node_rows, dtype=np.int64)
+    node_row_blocks = np.ascontiguousarray(node_row_blocks, dtype=np.int64)
+    forbid = np.ascontiguousarray(forbid_merge, dtype=np.int64)
+    sy = as_f64(syge_costs)
+    asm = as_f64(asmbl_costs)
+    pp = as_f64(comp_model.potrf_params)
+    tp = as_f64(comp_model.trsm_params)
+    sp = as_f64(comp_model.syge_params)
+    ap = as_f64(comp_model.asmbl_params)
+    merge_with = np.empty(n, dtype=np.int64)
+    num_merged = np.empty(n, dtype=np.int64)
+    nm = lib.bs_compute_merges(
+        n, _as_i64p(csc_ptrs), _as_i64p(csc_rows), _as_i64p(psize),
+        _as_i64p(parent), _as_i64p(node_size), _as_i64p(node_rows),
+        _as_i64p(node_row_blocks), _as_i64p(forbid),
+        sy.ctypes.data_as(f64p), asm.ctypes.data_as(f64p),
+        pp.ctypes.data_as(f64p), tp.ctypes.data_as(f64p),
+        sp.ctypes.data_as(f64p), ap.ctypes.data_as(f64p),
+        int(max_supernode_size), _as_i64p(merge_with),
+        _as_i64p(num_merged))
+    if nm < 0:
+        return None
+    return merge_with, num_merged, int(nm), sy, asm
 
 
 def try_build_etree(ptrs: np.ndarray, inds: np.ndarray, param_size: np.ndarray):

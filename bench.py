@@ -53,11 +53,61 @@ def _force(res):
     float(r.ravel()[0])
 
 
+def _splu_baseline(solver, hdata, grad, log):
+    """Host CPU sparse-direct baseline (scipy SuperLU) on the identical
+    full system: the role CHOLMOD plays in the reference's benchmarks."""
+    import time as _t
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+
+    sk = solver.skel
+    h = np.asarray(hdata, dtype=np.float64)
+    rows, cols, vals = [], [], []
+    span_start = sk.span_start
+    for l in range(sk.num_lumps):
+        c0 = int(sk.lump_start[l])
+        w = int(sk.lump_start[l + 1]) - c0
+        st = int(sk.col_stride[l])
+        for ci in range(int(sk.chain_col_ptr[l]),
+                        int(sk.chain_col_ptr[l + 1])):
+            s = int(sk.chain_row_span[ci])
+            r0 = int(span_start[s])
+            nr = int(span_start[s + 1]) - r0
+            off = int(sk.chain_data[ci])
+            blk = h[off:off + nr * st].reshape(nr, st)[:, :w]
+            rr, cc = np.meshgrid(np.arange(nr) + r0, np.arange(w) + c0,
+                                 indexing="ij")
+            rows.append(rr.ravel())
+            cols.append(cc.ravel())
+            vals.append(blk.ravel())
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals)
+    lower = sp.coo_matrix((v, (r, c)), shape=(sk.order, sk.order)).tocsr()
+    strict = sp.triu(lower.T, k=1)
+    full = (lower + strict).tocsc()
+    log(f"cpu baseline: system order={sk.order} nnz={full.nnz}")
+    b = np.asarray(-grad, dtype=np.float64)
+    t0 = _t.perf_counter()
+    lu = splu(full)
+    t_f = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    lu.solve(b)
+    t_s = _t.perf_counter() - t0
+    log(f"cpu SuperLU: factor {t_f:.2f}s solve {t_s*1e3:.1f}ms")
+    return t_f + t_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--problem", default="flat1000",
                     choices=["flat1000", "flat_schur", "grid", "batch",
-                             "bal", "meri"])
+                             "bal", "bal_full", "meri"])
+    ap.add_argument("--cpu-baseline", action="store_true",
+                    help="bal_full: also time scipy SuperLU on the same "
+                         "full system on the host CPU")
+    ap.add_argument("--bal-cams", type=int, default=871)
+    ap.add_argument("--bal-pts", type=int, default=527480)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
@@ -146,6 +196,63 @@ def main():
         print(json.dumps({
             "metric": "bal_30k_factor_ms", "value": round(tf * 1e3, 3),
             "unit": "ms", "vs_baseline": round(tf / ref_cuda_s, 4)}))
+        return
+    elif args.problem == "bal_full":
+        # the north-star scale: BAL problem-871-527480 (Venice-871 shape:
+        # 871 cameras, 527480 landmarks, ~2.6M observations). Tracks use
+        # the camera-window model of real capture sessions (bal.py). The
+        # reference benchmarks this via BaAtLargeBench on downloaded BAL
+        # files (BaAtLargeBench.cpp:44-238); offline, we synthesize the
+        # same shape. Baseline: scipy SuperLU (best available CPU sparse
+        # direct solver here — the CHOLMOD stand-in) on the identical
+        # full system, with --cpu-baseline; else the north-star contract
+        # "beat CHOLMOD" is reported against a CHOLMOD-scale estimate
+        # from the reference's own data (FLAT n=4000/12k params: 13.1 s,
+        # BENCHMARK_RESULTS.md:52; this system has 530k params but
+        # Schur-friendly structure — we use 13.1 s as a conservative
+        # stand-in for CHOLMOD wall time on this family).
+        from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
+        from baspacho_tpu.optimizer import OptimizerSettings
+        t0 = time.perf_counter()
+        prob = make_random_bal(n_cams=args.bal_cams, n_pts=args.bal_pts,
+                               track_len=5, seed=1, track_mode="window",
+                               window=24, loop_frac=0.03)
+        log(f"problem gen: {time.perf_counter() - t0:.2f}s  "
+            f"cams={prob.num_cameras} pts={prob.num_points} "
+            f"obs={prob.num_observations}")
+        opt, _, _ = build_ba_optimizer(prob)
+        t0 = time.perf_counter()
+        solver = opt.build_solver(OptimizerSettings(
+            backend=BackendType.PLANNED))
+        t_sym = time.perf_counter() - t0
+        log(f"symbolic analysis: {t_sym:.2f}s  "
+            f"lumps={solver.skel.num_lumps} "
+            f"levels={solver.backend.num_levels} "
+            f"dataSize={solver.data_size}")
+        values = [f.values for f in opt.families]
+        t0 = time.perf_counter()
+        cost, grad, hdata = opt.compute_grad_hess(values,
+                                                  dtype=jnp.float32)
+        _force(hdata)
+        log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
+            f"cost={float(cost):.3e}")
+        damp_idx = jnp.asarray(solver.skel.damp_indices())
+        hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+        tf = time_op(lambda: solver.factor(hdata), n=args.reps)
+        f = solver.factor(hdata)
+        ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
+        log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
+        x = solver.solve(f, -grad)
+        r = solver.add_mv_from(hdata, 0, x, jnp.zeros_like(x), 1.0) + grad
+        rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(grad))
+        log(f"solve relative residual: {rel:.2e}")
+        ref_s = 13.1
+        if args.cpu_baseline:
+            ref_s = _splu_baseline(solver, hdata, grad, log)
+        print(json.dumps({
+            "metric": "bal871_527k_factor_solve_ms",
+            "value": round((tf + ts) * 1e3, 3), "unit": "ms",
+            "vs_baseline": round((tf + ts) / ref_s, 4)}))
         return
     else:  # batch
         gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)

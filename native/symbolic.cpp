@@ -301,4 +301,179 @@ int bs_amd_order(i64 n, const i64* ptrs, const i64* inds, i64* perm_out) {
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// greedy cost-model supernode merging (the hot loop of EliminationTree's
+// processTree; ~1e6 cost evaluations, dominated symbolic time in Python).
+// Mirrors elimination_tree.py::compute_merges exactly, including heap
+// tie-breaking (max (score, k, p) lexicographic == Python heapq on
+// (-score, -k, -p)).
+//
+// csc_ptrs/csc_rows: FILLED pattern as CSC of the lower half (per column:
+// rows >= col, sorted ascending, diagonal first).
+// ---------------------------------------------------------------------------
+i64 bs_compute_merges(i64 n, const i64* csc_ptrs, const i64* csc_rows,
+                      const i64* psize, const i64* parent,
+                      i64* node_size, const i64* node_rows,
+                      const i64* node_row_blocks, const i64* forbid_merge,
+                      double* syge_costs, double* asmbl_costs,
+                      const double* pp, const double* tp, const double* sp,
+                      const double* ap, i64 max_supernode_size,
+                      i64* merge_with, i64* num_merged) {
+  // --- per-row stats: entries [col, blocks, rows, blocks_down, rows_down]
+  struct Stat { i64 c, b, r, bd, rd; };
+  vector<vector<Stat>> prs(n);
+  {
+    vector<i64> cnt(n, 0);
+    for (i64 e = 0; e < csc_ptrs[n]; e++) cnt[csc_rows[e]]++;
+    for (i64 r = 0; r < n; r++) prs[r].reserve(cnt[r]);
+  }
+  for (i64 c = 0; c < n; c++) {
+    i64 e0 = csc_ptrs[c], e1 = csc_ptrs[c + 1];
+    // suffix sums of row sizes below each entry
+    i64 rows_down = 0;
+    vector<i64> rd(e1 - e0);
+    for (i64 e = e1 - 1; e >= e0; e--) {
+      rd[e - e0] = rows_down;
+      rows_down += psize[csc_rows[e]];
+    }
+    for (i64 e = e0; e < e1; e++) {
+      i64 r = csc_rows[e];
+      prs[r].push_back({c, 1, psize[r], (e1 - 1) - e, rd[e - e0]});
+    }
+  }
+
+  auto syge_lin = [&](double m, double w, double* out01) {
+    double u = m + w, v = m * w;
+    out01[0] = sp[0] + u * sp[1] + v * sp[2];
+    out01[1] = sp[3] + u * sp[4] + v * sp[5];
+  };
+  auto asmbl_lin = [&](double br, double* out01) {
+    out01[0] = ap[0] + br * ap[1];
+    out01[1] = ap[2] + br * ap[3];
+  };
+  auto potrf = [&](double w) {
+    return pp[0] + w * (pp[1] + w * (pp[2] + w * pp[3]));
+  };
+  auto trsm = [&](double w, double k) {
+    return tp[0] + w * (tp[1] + w * tp[2]) +
+           k * (tp[3] + w * (tp[4] + w * tp[5]));
+  };
+  auto pick_score = [&](i64 k, i64 p) {
+    return (double)node_rows[k] / (double)(node_rows[p] + node_size[p]);
+  };
+
+  // max-heap on (score, k, p) — matches Python heapq((-s, -k, -p))
+  struct HeapEnt {
+    double s; i64 k, p;
+    bool operator<(const HeapEnt& o) const {
+      if (s != o.s) return s < o.s;
+      if (k != o.k) return k < o.k;
+      return p < o.p;
+    }
+  };
+  vector<HeapEnt> heap;
+  heap.reserve(n);
+  for (i64 k = 0; k < n; k++) {
+    merge_with[k] = -1;
+    num_merged[k] = 1;
+    if (forbid_merge[k]) continue;
+    i64 p = parent[k];
+    if (p == -1) continue;
+    heap.push_back({pick_score(k, p), k, p});
+  }
+  std::make_heap(heap.begin(), heap.end());
+
+  i64 num_merges = 0;
+  double d[2];
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end());
+    HeapEnt e = heap.back();
+    heap.pop_back();
+    i64 k = e.k, p = e.p, old_p = p;
+    while (merge_with[p] != -1) p = merge_with[p];
+    if (old_p != p) {  // stale: parent got merged, re-score
+      heap.push_back({pick_score(k, p), k, p});
+      std::push_heap(heap.begin(), heap.end());
+      continue;
+    }
+    double sk = (double)node_size[k], rk = (double)node_rows[k];
+    double sp_ = (double)node_size[p], rp = (double)node_rows[p];
+    double sm = sp_ + sk;
+    if (sm > (double)max_supernode_size) continue;
+    double* sgk = syge_costs + 2 * k;
+    double* sgp = syge_costs + 2 * p;
+    double* ask = asmbl_costs + 2 * k;
+    double* asp = asmbl_costs + 2 * p;
+    double t_k = potrf(sk) + trsm(sk, rk) + sgk[0] + sgk[1] * sk +
+                 ask[0] + ask[1] * (double)num_merged[k];
+    double t_p = potrf(sp_) + trsm(sp_, rp) + sgp[0] + sgp[1] * sp_ +
+                 asp[0] + asp[1] * (double)num_merged[p];
+    double t_m = potrf(sm) + trsm(sm, rp) + sgp[0] + sgp[1] * sm +
+                 asp[0] +
+                 asp[1] * (double)(num_merged[k] + num_merged[p]);
+    if (!(t_m < t_k + t_p)) continue;
+
+    i64 prev_size_p = node_size[p];
+    i64 prev_merged_p = num_merged[p];
+    merge_with[k] = p;
+    node_size[p] += node_size[k];
+    num_merged[p] += num_merged[k];
+    num_merges++;
+
+    // merge row-stat lists; where both appear in one column the two row
+    // blocks become one taller block — update that column's accumulators
+    vector<Stat>& k_rd = prs[k];
+    vector<Stat>& p_rd = prs[p];
+    vector<Stat> merged;
+    merged.reserve(k_rd.size() + p_rd.size());
+    size_t ik = 0, ip = 0;
+    while (ik < k_rd.size() || ip < p_rd.size()) {
+      if (ip >= p_rd.size() ||
+          (ik < k_rd.size() && k_rd[ik].c < p_rd[ip].c)) {
+        if (k_rd[ik].c != k) merged.push_back(k_rd[ik]);
+        ik++;
+      } else if (ik >= k_rd.size() || k_rd[ik].c > p_rd[ip].c) {
+        if (p_rd[ip].c != p) merged.push_back(p_rd[ip]);
+        ip++;
+      } else {
+        const Stat& ks = k_rd[ik];
+        const Stat& ps = p_rd[ip];
+        i64 c = ks.c;
+        double* s01 = syge_costs + 2 * c;
+        double* a01 = asmbl_costs + 2 * c;
+        syge_lin((double)(ks.rd + ks.r), (double)ks.r, d);
+        s01[0] -= d[0]; s01[1] -= d[1];
+        asmbl_lin((double)(ks.bd + ks.b), d);
+        a01[0] -= d[0]; a01[1] -= d[1];
+        syge_lin((double)(ps.rd + ps.r), (double)ps.r, d);
+        s01[0] -= d[0]; s01[1] -= d[1];
+        asmbl_lin((double)(ps.bd + ps.b), d);
+        a01[0] -= d[0]; a01[1] -= d[1];
+        syge_lin((double)(ps.rd + ks.r + ps.r), (double)(ks.r + ps.r), d);
+        s01[0] += d[0]; s01[1] += d[1];
+        asmbl_lin((double)(ps.bd + ks.b + ps.b), d);
+        a01[0] += d[0]; a01[1] += d[1];
+        merged.push_back({c, ks.b + ps.b, ks.r + ps.r, ps.bd, ps.rd});
+        ik++;
+        ip++;
+      }
+    }
+    double* s01 = syge_costs + 2 * p;
+    double* a01 = asmbl_costs + 2 * p;
+    syge_lin((double)(node_rows[p] + prev_size_p), (double)prev_size_p, d);
+    s01[0] -= d[0]; s01[1] -= d[1];
+    asmbl_lin((double)(node_row_blocks[p] + prev_merged_p), d);
+    a01[0] -= d[0]; a01[1] -= d[1];
+    syge_lin((double)(node_rows[p] + node_size[p]),
+             (double)node_size[p], d);
+    s01[0] += d[0]; s01[1] += d[1];
+    asmbl_lin((double)(node_row_blocks[p] + num_merged[p]), d);
+    a01[0] += d[0]; a01[1] += d[1];
+    merged.push_back({p, num_merged[p], node_size[p],
+                      node_row_blocks[p], node_rows[p]});
+    prs[p] = std::move(merged);
+  }
+  return num_merges;
+}
+
 }  // extern "C"
