@@ -102,6 +102,26 @@ def reprojection_residual(point, camera, uv):
     return snavely_project(camera, point) - uv
 
 
+def snavely_project_np(cameras, points):
+    """Vectorized host (NumPy) Snavely projection for data generation —
+    avoids a device round-trip in make_random_bal. cameras (N, 9),
+    points (N, 3) -> (N, 2)."""
+    r, t = cameras[:, :3], cameras[:, 3:6]
+    f, k1, k2 = cameras[:, 6:7], cameras[:, 7:8], cameras[:, 8:9]
+    theta2 = np.sum(r * r, axis=-1, keepdims=True)
+    theta = np.sqrt(np.maximum(theta2, 1e-30))
+    small = theta2 < 1e-14
+    k = r / np.where(small, 1.0, theta)
+    c, s = np.cos(theta), np.sin(theta)
+    kxx = np.cross(k, points)
+    kdx = np.sum(k * points, axis=-1, keepdims=True)
+    rot = c * points + s * kxx + (1.0 - c) * kdx * k
+    p = np.where(small, points + np.cross(r, points), rot) + t
+    xp = -p[:, :2] / p[:, 2:3]
+    n2 = np.sum(xp * xp, axis=-1, keepdims=True)
+    return f * (1.0 + k1 * n2 + k2 * n2 * n2) * xp
+
+
 def make_random_bal(n_cams=6, n_pts=50, track_len=4, seed=0,
                     noise=0.0, track_mode="uniform", window=20,
                     loop_frac=0.05) -> BalProblem:
@@ -131,18 +151,19 @@ def make_random_bal(n_cams=6, n_pts=50, track_len=4, seed=0,
     tl = min(track_len, n_cams)
     if track_mode == "window":
         w = min(window, n_cams)
+        k = min(tl, w)
         base = np.sort(rng.randint(0, max(1, n_cams - w), size=n_pts))
-        for p in range(n_pts):
-            lo = int(base[p])
-            seen = lo + rng.choice(w, size=min(tl, w), replace=False)
-            if rng.rand() < loop_frac:  # loop closure: retarget half
-                lo2 = rng.randint(0, max(1, n_cams - w))
-                k = len(seen) // 2
-                seen[k:] = lo2 + rng.choice(w, size=len(seen) - k,
-                                            replace=False)
-            for c in seen:
-                obs_cam.append(int(c))
-                obs_pt.append(p)
+        # vectorized distinct-sample-of-k-from-w per point
+        offs = np.argsort(rng.rand(n_pts, w), axis=1)[:, :k]
+        seen = base[:, None] + offs
+        loop = rng.rand(n_pts) < loop_frac  # loop closure: retarget half
+        nloop = int(loop.sum())
+        if nloop:
+            lo2 = rng.randint(0, max(1, n_cams - w), size=nloop)
+            offs2 = np.argsort(rng.rand(nloop, w), axis=1)[:, :k - k // 2]
+            seen[loop, k // 2:] = lo2[:, None] + offs2
+        obs_cam = seen.ravel()
+        obs_pt = np.repeat(np.arange(n_pts), k)
     else:
         for p in range(n_pts):
             seen = rng.choice(n_cams, size=tl, replace=False)
@@ -151,9 +172,7 @@ def make_random_bal(n_cams=6, n_pts=50, track_len=4, seed=0,
                 obs_pt.append(p)
     obs_cam = np.array(obs_cam)
     obs_pt = np.array(obs_pt)
-    import jax
-    uv = np.asarray(jax.vmap(snavely_project)(
-        jnp.asarray(cams[obs_cam]), jnp.asarray(pts[obs_pt])))
+    uv = snavely_project_np(cams[obs_cam], pts[obs_pt])
     uv = uv + rng.randn(*uv.shape) * noise
     return BalProblem(cams, pts, obs_cam, obs_pt, uv)
 

@@ -261,6 +261,34 @@ class CoalescedBlockMatrixSkel:
         return (np.concatenate(parts) if parts
                 else np.empty(0, dtype=np.int64))
 
+    def data_coords(self) -> tuple:
+        """Per-flat-data-slot matrix coordinates (row, col) of the LOWER
+        half entries; slots that are padding or upper-triangle parts of
+        diagonal blocks map to the sentinel (order, order). Feeds the
+        differentiable-solve VJP (Solver.make_differentiable_solve)."""
+        n = self.order
+        ri = np.full(self.data_size, n, dtype=np.int64)
+        ci = np.full(self.data_size, n, dtype=np.int64)
+        span_size = self.span_start[1:] - self.span_start[:-1]
+        lump_size = self.lump_start[1:] - self.lump_start[:-1]
+        for l in range(self.num_lumps):
+            w = int(lump_size[l])
+            st = int(self.col_stride[l])
+            c0 = int(self.lump_start[l])
+            for cix in range(int(self.chain_col_ptr[l]),
+                             int(self.chain_col_ptr[l + 1])):
+                s = int(self.chain_row_span[cix])
+                nr = int(span_size[s])
+                r0 = int(self.span_start[s])
+                off = int(self.chain_data[cix])
+                rr = r0 + np.arange(nr)[:, None]
+                cc = c0 + np.arange(w)[None, :]
+                keep = rr >= cc  # lower half only
+                slots = off + np.arange(nr)[:, None] * st + np.arange(w)
+                ri[slots[keep]] = np.broadcast_to(rr, slots.shape)[keep]
+                ci[slots[keep]] = np.broadcast_to(cc, slots.shape)[keep]
+        return ri, ci
+
     def padding_mask(self) -> np.ndarray:
         """0/1 mask over flat data: 1 at real positions, 0 at padding.
         All-ones when the layout is unpadded."""

@@ -312,6 +312,59 @@ class Optimizer:
                 hdata = hdata.at[idx].add(h)
         return total_cost, grad[:-1], hdata[:-1]
 
+    # -- diagnostics ------------------------------------------------------
+    def verify_jacobians(self, epsilon: float = 1e-5,
+                         max_relative_error: float = 1e-3,
+                         n_check: int = 100, verbose: bool = False) -> bool:
+        """Check each factor family's Jacobians against central finite
+        differences through the manifold retraction, on up to `n_check`
+        factors per family (reference Optimizer.h:247-320 verifyJacobians;
+        there it validates hand-written analytic Jacobians — here the
+        autodiff Jacobians, or any user-supplied ones, play that role).
+        Returns True when every column's relative error stays below
+        `max_relative_error`."""
+        ok = True
+        for fi, ff in enumerate(self.factor_families):
+            F = len(ff.slots[0][1])
+            m = min(F, n_check)
+            steps = [self.families[f].tangent_step for f, _ in ff.slots]
+            tdims = [self.families[f].tangent_dim for f, _ in ff.slots]
+
+            def local(deltas, vs, cs):
+                stepped = [s(v, d) for s, v, d in zip(steps, vs, deltas)]
+                return ff.residual_fn(*stepped, *cs)
+
+            max_rel = [np.zeros(td) for td in tdims]
+            for k in range(m):
+                vs = tuple(jnp.asarray(self.families[f].values[ix[k]])
+                           for f, ix in ff.slots)
+                cs = tuple(jnp.asarray(c)[k] for c in ff.consts)
+                zeros = tuple(jnp.zeros(td, vs[0].dtype) for td in tdims)
+                jacs = jax.jacfwd(local, argnums=0)(zeros, vs, cs)
+                for i, td in enumerate(tdims):
+                    jac = np.asarray(jacs[i], dtype=np.float64)
+                    for t in range(td):
+                        dp = [jnp.zeros(d, vs[0].dtype) for d in tdims]
+                        dp[i] = dp[i].at[t].set(epsilon)
+                        rp = np.asarray(local(tuple(dp), vs, cs),
+                                        dtype=np.float64)
+                        dp[i] = dp[i].at[t].set(-epsilon)
+                        rm = np.asarray(local(tuple(dp), vs, cs),
+                                        dtype=np.float64)
+                        num = (rp - rm) / (2 * epsilon)
+                        rel = np.linalg.norm(num - jac[:, t]) / (
+                            np.linalg.norm(num) + epsilon)
+                        max_rel[i][t] = max(max_rel[i][t], rel)
+            fam_ok = all(float(mr.max(initial=0.0)) <= max_relative_error
+                         for mr in max_rel)
+            ok = ok and fam_ok
+            if verbose or not fam_ok:
+                print(f"factor family {fi}: checked {m}/{F} factors, "
+                      f"max col rel errors "
+                      f"{[np.round(mr, 6).tolist() for mr in max_rel]} "
+                      f"{'OK' if fam_ok else 'FAIL'}")
+        return ok
+
     # -- step -----------------------------------------------------------
     def apply_step(self, values_list, step_vec):
         """Retract tangent step (internal ordering) onto each family."""

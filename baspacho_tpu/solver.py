@@ -301,6 +301,55 @@ class Solver:
             x = x + dx
         return x
 
+    def make_differentiable_solve(self):
+        """Returns a jax-differentiable `f(hdata, rhs) -> x` solving
+        H x = rhs for the SPD block matrix held in `hdata` (lower-half
+        coalesced layout).
+
+        Gradients use the implicit-function theorem instead of
+        differentiating through the factorization's internals (the
+        Theseus use case — the reference is the GPU solver behind that
+        differentiable-LM library, which wraps it in exactly this kind of
+        custom backward): with y = H^{-1} g,
+            bar_rhs = y,
+            bar_H   = -y x^T  (symmetrized onto the stored lower half:
+                      bar_hdata[slot(i,j)] = -(y_i x_j + x_i y_j), i > j,
+                      and -y_i x_i on the diagonal).
+        The backward pass is two triangular solves against the forward
+        factor — no extra factorization."""
+        ri, ci = self.skel.data_coords()
+        ri = jnp.asarray(ri)
+        ci = jnp.asarray(ci)
+
+        @jax.custom_vjp
+        def diff_solve(hdata, rhs):
+            return self.solve(self.factor(hdata), rhs)
+
+        def fwd(hdata, rhs):
+            f = self.factor(hdata)
+            x = self.solve(f, rhs)
+            return x, (f, x)
+
+        def bwd(res, g):
+            f, x = res
+            y = self.solve(f, g)
+            # pad with a zero row so sentinel coords (order) read 0
+            pad = [(0, 1)] + [(0, 0)] * (x.ndim - 1)
+            xe = jnp.pad(x, pad)
+            ye = jnp.pad(y, pad)
+            if x.ndim == 1:
+                prod = ye[ri] * xe[ci] + xe[ri] * ye[ci]
+                diag = ye[ri] * xe[ci]
+            else:  # (order, nrhs): sum over rhs columns
+                prod = jnp.einsum("kn,kn->k", ye[ri], xe[ci]) + \
+                    jnp.einsum("kn,kn->k", xe[ri], ye[ci])
+                diag = jnp.einsum("kn,kn->k", ye[ri], xe[ci])
+            bar_h = -jnp.where(ri == ci, diag, prod)
+            return bar_h.astype(jnp.asarray(x).dtype), y
+
+        diff_solve.defvjp(fwd, bwd)
+        return diff_solve
+
     def pseudo_factor_from(self, data, span_index: int):
         data = jnp.asarray(data)
         n = self.skel.num_spans

@@ -216,7 +216,7 @@ def main():
         t0 = time.perf_counter()
         prob = make_random_bal(n_cams=args.bal_cams, n_pts=args.bal_pts,
                                track_len=5, seed=1, track_mode="window",
-                               window=24, loop_frac=0.03)
+                               window=24, loop_frac=0.03, noise=1.0)
         log(f"problem gen: {time.perf_counter() - t0:.2f}s  "
             f"cams={prob.num_cameras} pts={prob.num_points} "
             f"obs={prob.num_observations}")

@@ -169,3 +169,113 @@ def test_pcg_standalone():
                        lambda v: jnp.asarray(a) @ v,
                        jnp.asarray(b), 1e-12, 200)
     assert np.max(np.abs(np.asarray(x) - np.linalg.solve(a, b))) < 1e-7
+
+
+def test_verify_jacobians():
+    opt, xs = build_spring_chain()
+    assert opt.verify_jacobians(verbose=False)
+
+    # a family with a deliberately inconsistent manifold retraction must
+    # fail the check (autodiff through retraction vs FD through retraction
+    # always agree; simulate a hand-written-Jacobian bug by a residual
+    # whose jacfwd is overridden... instead: non-smooth residual at the
+    # evaluation point, where FD and autodiff genuinely disagree)
+    opt2 = Optimizer()
+    ys = opt2.add_variable_family(VariableFamily(np.zeros((4, 1)),
+                                                 name="y"))
+
+    def kinked(a):
+        return jnp.abs(a) + a  # kink exactly at the evaluation point 0
+
+    opt2.add_factor_family(kinked, [(ys, np.arange(4))])
+    assert not opt2.verify_jacobians(verbose=False)
+
+
+def test_verify_jacobians_se3():
+    from baspacho_tpu.optimizer import SE3
+    rng = np.random.RandomState(3)
+    opt = Optimizer()
+    vals = np.stack([np.asarray(SE3.exp(jnp.asarray(rng.randn(6) * 0.1)))
+                     for _ in range(3)])
+    poses = opt.add_variable_family(VariableFamily(
+        vals, tangent_dim=SE3.TANGENT_DIM, tangent_step=SE3.tangent_step,
+        name="poses"))
+    targets = rng.rand(2, 3)
+
+    def point_obs(pose, tgt):
+        return SE3.transform(pose, jnp.array([1.0, 2.0, 3.0])) - tgt
+
+    opt.add_factor_family(point_obs, [(poses, np.array([0, 1]))],
+                          consts=(targets,))
+    assert opt.verify_jacobians(epsilon=1e-6, max_relative_error=1e-4)
+
+
+def test_differentiable_solve_gradcheck():
+    """custom_vjp solve: gradients of a scalar loss wrt the block-sparse
+    matrix data and rhs must match finite differences (the Theseus
+    differentiable-LM use case)."""
+    from baspacho_tpu import Settings, create_solver
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    gen = SparseMatGenerator.gen_flat(10, 0.35, seed=3)
+    ss = gen.to_structure()
+    solver = create_solver(Settings(), np.full(10, 2), ss)
+    data = random_spd_data(solver.data_size, solver.order, 7)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    rng = np.random.RandomState(5)
+    rhs = rng.rand(solver.order)
+    w = rng.rand(solver.order)
+
+    fsolve = solver.make_differentiable_solve()
+
+    def loss(h, b):
+        return jnp.sum(jnp.asarray(w) * fsolve(h, b))
+
+    gh, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(data),
+                                            jnp.asarray(rhs))
+    # finite differences on a random subset of real (non-padding) slots
+    mask = solver.skel.padding_mask()
+    live = np.nonzero(mask)[0]
+    eps = 1e-6
+    for k in rng.choice(live, size=20, replace=False):
+        hp = data.copy(); hp[k] += eps
+        hm = data.copy(); hm[k] -= eps
+        fd = (float(loss(jnp.asarray(hp), jnp.asarray(rhs))) -
+              float(loss(jnp.asarray(hm), jnp.asarray(rhs)))) / (2 * eps)
+        assert abs(fd - float(gh[k])) < 1e-5 * max(1.0, abs(fd)), \
+            (k, fd, float(gh[k]))
+    for k in rng.choice(solver.order, size=5, replace=False):
+        bp = rhs.copy(); bp[k] += eps
+        bm = rhs.copy(); bm[k] -= eps
+        fd = (float(loss(jnp.asarray(data), jnp.asarray(bp))) -
+              float(loss(jnp.asarray(data), jnp.asarray(bm)))) / (2 * eps)
+        assert abs(fd - float(gb[k])) < 1e-6 * max(1.0, abs(fd))
+
+
+def test_differentiable_solve_multi_rhs():
+    from baspacho_tpu import Settings, create_solver
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    gen = SparseMatGenerator.gen_flat(8, 0.4, seed=9)
+    ss = gen.to_structure()
+    solver = create_solver(Settings(), np.full(8, 2), ss)
+    data = random_spd_data(solver.data_size, solver.order, 1)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    rng = np.random.RandomState(2)
+    rhs = rng.rand(solver.order, 3)
+    w = rng.rand(solver.order, 3)
+    fsolve = solver.make_differentiable_solve()
+
+    def loss(h, b):
+        return jnp.sum(jnp.asarray(w) * fsolve(h, b))
+
+    gh, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(data),
+                                            jnp.asarray(rhs))
+    eps = 1e-6
+    live = np.nonzero(solver.skel.padding_mask())[0]
+    for k in rng.choice(live, size=10, replace=False):
+        hp = data.copy(); hp[k] += eps
+        hm = data.copy(); hm[k] -= eps
+        fd = (float(loss(jnp.asarray(hp), jnp.asarray(rhs))) -
+              float(loss(jnp.asarray(hm), jnp.asarray(rhs)))) / (2 * eps)
+        assert abs(fd - float(gh[k])) < 1e-5 * max(1.0, abs(fd))
