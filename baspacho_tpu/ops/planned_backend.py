@@ -392,6 +392,21 @@ class PlannedBackend:
             if len(slices) > self.MAX_SLICES:
                 return None  # too fragmented: block-pair path wins
 
+        # RHS-vector slices (for the solve's dense below updates): runs of
+        # consecutive touched spans are contiguous both in the compact row
+        # space and in the RHS vector
+        vec_slices = []
+        i = 0
+        while i < len(tspans):
+            j = i
+            while j + 1 < len(tspans) and tspans[j + 1] == tspans[j] + 1:
+                j += 1
+            vec_slices.append((int(sk.span_start[tspans[i]]),
+                               int(sk.span_start[tspans[j] + 1] -
+                                   sk.span_start[tspans[i]]),
+                               int(compact_start[tspans[i]])))
+            i = j + 1
+
         slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
         if len(slices) <= self.UNROLL_SLICES:
             cost = total_flops / self.MXU_FLOPS + \
@@ -399,7 +414,8 @@ class PlannedBackend:
                 (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
             return {"R": R, "groups": groups, "row_maps": row_maps,
                     "pad_b": pad_b, "slices": slices, "slice_scans": [],
-                    "u_pads": (0, 0, 0), "cost": cost}
+                    "u_pads": (0, 0, 0), "vec_slices": vec_slices,
+                    "cost": cost}
 
         # too many slices to unroll: group by padded (row, stride) shape
         # and run each group as one lax.scan of masked window updates.
@@ -427,7 +443,8 @@ class PlannedBackend:
             (R * R + 2 * pad_elems) * 4 / 8e11
         return {"R": R, "groups": groups, "row_maps": row_maps,
                 "pad_b": pad_b, "slices": [], "slice_scans": slice_scans,
-                "u_pads": (pr, lc, lc), "cost": cost}
+                "u_pads": (pr, lc, lc), "vec_slices": vec_slices,
+                "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -603,6 +620,87 @@ class PlannedBackend:
                      for lds in self._by_level(start, end)]
             self._solve_cache[key] = sched
         return sched
+
+    def _fuse_same_cp(self, buckets: List[LumpBucket]) -> List[LumpBucket]:
+        """Solve-only bucket fusion: buckets sharing a column width cp can
+        be read as one batched (B, cp+rp_max, cp) tensor — rows past a
+        lump's actual panel read the NEXT panel's memory, which is safe
+        because (a) their below-row indices are the `order` sentinel so
+        updates land in the RHS's sacrificial row, and (b) in the
+        transpose pass they multiply the sentinel row's zeros. Solve cost
+        is per-XLA-op overhead dominated (measured), so fewer, fatter ops
+        win despite the padding."""
+        order = self.plan.skel.order
+        by_cp: Dict[int, list] = {}
+        for lb in buckets:
+            by_cp.setdefault(lb.cp, []).append(lb)
+        out = []
+        for cp, group in sorted(by_cp.items()):
+            if len(group) == 1:
+                out.append(group[0])
+                continue
+            rp = max(lb.rp for lb in group)
+            B = sum(len(lb.off) for lb in group)
+            bidx = np.full((B, max(rp, 1)), order, dtype=np.int32)
+            i = 0
+            for lb in group:
+                n = len(lb.off)
+                if lb.rp > 0:
+                    bidx[i:i + n, :lb.rp] = lb.below_idx
+                i += n
+            fused = LumpBucket(
+                rp=rp, cp=cp,
+                off=np.concatenate([lb.off for lb in group]),
+                rows=np.concatenate([lb.rows for lb in group]),
+                cols=np.concatenate([lb.cols for lb in group]),
+                vec_off=np.concatenate([lb.vec_off for lb in group]),
+                below_idx=bidx, contiguous=False)
+            fused.members = sum((lb.members for lb in group), [])
+            out.append(fused)
+        return out
+
+    SOLVE_BLOCK = 512  # diag-block size for the wide-panel inverse chain
+
+    def _big_panel_solve(self, L, x, transpose):
+        """Solve L x = b (or L^T x = b) for wide panels (cp > SOLVE_BLOCK)
+        as a chain of matmuls against batch-inverted diagonal blocks: one
+        batched triangular_solve against I computes all block inverses
+        (matmul-speed on the MXU), then each 512-step is two matmuls —
+        replacing a long chain of nrhs=1 triangular solves whose per-op
+        cost dominated solve latency (measured)."""
+        B, cp = L.shape[0], L.shape[1]
+        bs = self.SOLVE_BLOCK
+        nb = (cp + bs - 1) // bs
+        assert cp % bs == 0, "padded widths are pow2 >= SOLVE_BLOCK"
+        blocks = jnp.stack([L[:, k * bs:(k + 1) * bs, k * bs:(k + 1) * bs]
+                            for k in range(nb)], axis=1)
+        eye = jnp.eye(bs, dtype=L.dtype)[None, None]
+        binv = jax.lax.linalg.triangular_solve(
+            blocks.reshape(B * nb, bs, bs),
+            jnp.broadcast_to(eye, (B, nb, bs, bs)).reshape(B * nb, bs, bs),
+            left_side=True, lower=True).reshape(B, nb, bs, bs)
+        if not transpose:
+            for k in range(nb):
+                xk = jnp.einsum("bij,bjn->bin", binv[:, k],
+                                x[:, k * bs:(k + 1) * bs],
+                                preferred_element_type=x.dtype)
+                x = x.at[:, k * bs:(k + 1) * bs].set(xk)
+                if k + 1 < nb:
+                    x = x.at[:, (k + 1) * bs:].add(-jnp.einsum(
+                        "brj,bjn->brn", L[:, (k + 1) * bs:,
+                                          k * bs:(k + 1) * bs], xk,
+                        preferred_element_type=x.dtype))
+        else:
+            for k in range(nb - 1, -1, -1):
+                xk = jnp.einsum("bji,bjn->bin", binv[:, k],
+                                x[:, k * bs:(k + 1) * bs],
+                                preferred_element_type=x.dtype)
+                x = x.at[:, k * bs:(k + 1) * bs].set(xk)
+                if k > 0:
+                    x = x.at[:, :k * bs].add(-jnp.einsum(
+                        "bjr,bjn->brn", L[:, k * bs:(k + 1) * bs, :k * bs],
+                        xk, preferred_element_type=x.dtype))
+        return x
 
     # ------------------------------------------------------------------
     # jit-graph building blocks
@@ -884,28 +982,43 @@ class PlannedBackend:
         return factor, aux_np
 
     # -- solve ----------------------------------------------------------
-    def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose, aux):
+    def _bucket_xidx(self, sb: LumpBucket, order):
+        cols = jnp.asarray(sb.cols)
+        xr = jax.lax.broadcasted_iota(jnp.int32, (1, sb.cp), 1)
+        return jnp.where(xr < cols[:, None],
+                         jnp.asarray(sb.vec_off)[:, None] + xr, order)
+
+    def _tri(self, L, x, transpose):
+        if L.shape[1] > self.SOLVE_BLOCK:
+            return self._big_panel_solve(L, x, transpose)
+        return jax.lax.linalg.triangular_solve(
+            L, x, left_side=True, lower=True, transpose_a=transpose)
+
+    def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose,
+                    bidx=None, dx=None, ret_xb=False):
+        """One bucket's diagonal solve. `bidx` (below-row RHS positions)
+        enables the scatter-based below update; dense levels pass None and
+        route below updates through compact accumulators instead."""
         cp = sb.cp
         panels = self._read_panels(ext, sb)
         L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
         below = panels[:, cp:] if sb.rp > 0 else None
-        cols = jnp.asarray(sb.cols)
-        xr = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
-        xidx = jnp.where(xr < cols[:, None],
-                         jnp.asarray(sb.vec_off)[:, None] + xr, order)
+        xidx = self._bucket_xidx(sb, order)
         x = vv[xidx]
-        bidx = aux[sb.aux_slot] if sb.rp > 0 else None
-        if transpose and below is not None:
+        if dx is not None:  # dense-path transpose correction
+            x = x - dx
+        if transpose and below is not None and bidx is not None:
             tmp = vv[bidx]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
-        x = jax.lax.linalg.triangular_solve(
-            L, x, left_side=True, lower=True, transpose_a=transpose)
+        x = self._tri(L, x, transpose)
         vv = vv.at[xidx].set(x)
-        if not transpose and below is not None:
+        if not transpose and below is not None and bidx is not None:
             y = jnp.einsum("brk,bkn->brn", below, x,
                            preferred_element_type=vv.dtype)
             vv = vv.at[bidx].add(-y)
+        if ret_xb:
+            return vv, x, below
         return vv
 
     def _solve_aux(self, sched):
@@ -959,7 +1072,8 @@ class PlannedBackend:
             vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
             for buckets in sched:
                 for sb in buckets:
-                    vv = self._diag_solve(ext, vv, sb, order, False, aux)
+                    bidx = aux[sb.aux_slot] if sb.rp > 0 else None
+                    vv = self._diag_solve(ext, vv, sb, order, False, bidx)
             return vv[:order]
 
         return solve_l, aux_np
@@ -974,10 +1088,211 @@ class PlannedBackend:
             vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
             for buckets in reversed(sched):
                 for sb in buckets:
-                    vv = self._diag_solve(ext, vv, sb, order, True, aux)
+                    bidx = aux[sb.aux_slot] if sb.rp > 0 else None
+                    vv = self._diag_solve(ext, vv, sb, order, True, bidx)
             return vv[:order]
 
         return solve_lt, aux_np
+
+    # -- fused full solve (single XLA program: L pass + Lt pass) --------
+    VEC_SLICE_UNROLL = 96
+
+    def make_solve(self, start_lump: int, end_lump: int):
+        """One jitted program for the whole solve. Three latency levers vs
+        the per-level make_solve_l/make_solve_lt path (solve cost is
+        per-XLA-op overhead dominated — measured):
+          * L and Lt passes share one program (panel gathers CSE'd),
+          * same-width buckets of a level fuse into one batched op,
+          * levels whose factor took the dense W路W^T path push/pull their
+            below-row updates through the same one-hot chunk machinery
+            (compact camera-space accumulators) instead of RHS scatters —
+            on BA problems those scatters have thousands-deep collisions
+            (every landmark hits the same few camera rows)."""
+        fsched = self._factor_schedule(start_lump, end_lump)
+        sk = self.plan.skel
+        order = sk.order
+        aux_np = []
+        levels = []
+        margin = 2
+        for lump_buckets, pair_buckets, ptot, dense in fsched:
+            if dense is not None:
+                info = {"buckets": lump_buckets, "dense": dense,
+                        "slots": {}, "gslots": {}, "bidx": {}}
+                for bi, rm in enumerate(dense["row_maps"]):
+                    if rm is None:
+                        continue
+                    info["slots"][bi] = len(aux_np)
+                    aux_np.append(rm)
+                for gkey, items in dense["groups"].items():
+                    info["gslots"][gkey] = len(aux_np)
+                    aux_np.append(_i32(np.array(items)))
+                vs = dense["vec_slices"]
+                if len(vs) > self.VEC_SLICE_UNROLL:
+                    cidx = np.full(dense["R"], order, dtype=np.int32)
+                    for v0, ln, g0 in vs:
+                        cidx[g0:g0 + ln] = v0 + np.arange(ln)
+                    info["cidx_slot"] = len(aux_np)
+                    aux_np.append(cidx)
+                levels.append(info)
+            else:
+                fused = self._fuse_same_cp(lump_buckets)
+                info = {"buckets": fused, "dense": None, "bidx": {}}
+                for i, sb in enumerate(fused):
+                    if sb.rp > 0:
+                        info["bidx"][i] = len(aux_np)
+                        aux_np.append(sb.below_idx)
+                    if not sb.contiguous:
+                        margin = max(margin, (sb.cp + sb.rp) * sb.cp)
+                levels.append(info)
+
+        def dense_below_fwd(vv, info, xs, belows, aux):
+            dense = info["dense"]
+            R = dense["R"]
+            nrhs = vv.shape[1]
+            acc = jnp.zeros((R, nrhs), vv.dtype)
+            for (bi, nb, subp), items_slot in info["gslots"].items():
+                x, below = xs[bi], belows[bi]
+                rows_c = aux[info["slots"][bi]]
+                padB = dense["pad_b"][bi]
+                if padB > x.shape[0]:
+                    pn = padB - x.shape[0]
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pn,) + x.shape[1:], x.dtype)])
+                    below = jnp.concatenate(
+                        [below, jnp.zeros((pn,) + below.shape[1:],
+                                          below.dtype)])
+                    rows_c = jnp.concatenate(
+                        [rows_c, jnp.full((pn, rows_c.shape[1]), R,
+                                          jnp.int32)])
+                b0lo = aux[items_slot]
+
+                def step(acc, b0lo, x=x, below=below, rows_c=rows_c,
+                         nb=nb, subp=subp):
+                    b0, lo = b0lo[0], b0lo[1]
+                    xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
+                    t = jnp.einsum("brc,bcn->brn", bl, xc,
+                                   preferred_element_type=x.dtype)
+                    ids = lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, subp), 2)
+                    oh = (rc[:, :, None] == ids).astype(x.dtype)
+                    contrib = jnp.einsum("brs,brn->sn", oh, t,
+                                         preferred_element_type=x.dtype)
+                    z = jnp.zeros((), lo.dtype)
+                    cur = jax.lax.dynamic_slice(acc, (lo, z), (subp, nrhs))
+                    return jax.lax.dynamic_update_slice(
+                        acc, cur + contrib, (lo, z)), None
+
+                acc, _ = jax.lax.scan(step, acc, b0lo)
+            if "cidx_slot" in info:
+                vv = vv.at[aux[info["cidx_slot"]]].add(
+                    -acc, indices_are_sorted=False, unique_indices=True)
+            else:
+                for v0, ln, g0 in dense["vec_slices"]:
+                    vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
+            return vv
+
+        def dense_dx(vv, info, belows, aux):
+            """Per-bucket transpose corrections dx = below^T acc_rows."""
+            dense = info["dense"]
+            R = dense["R"]
+            nrhs = vv.shape[1]
+            if "cidx_slot" in info:
+                acc = vv[aux[info["cidx_slot"]]]
+            else:
+                acc = jnp.zeros((R, nrhs), vv.dtype)
+                for v0, ln, g0 in dense["vec_slices"]:
+                    acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
+            dxs = {}
+            for (bi, nb, subp), items_slot in info["gslots"].items():
+                below = belows[bi]
+                rows_c = aux[info["slots"][bi]]
+                padB = dense["pad_b"][bi]
+                cp = info["buckets"][bi].cp
+                if padB > below.shape[0]:
+                    pn = padB - below.shape[0]
+                    below = jnp.concatenate(
+                        [below, jnp.zeros((pn,) + below.shape[1:],
+                                          below.dtype)])
+                    rows_c = jnp.concatenate(
+                        [rows_c, jnp.full((pn, rows_c.shape[1]), R,
+                                          jnp.int32)])
+                b0lo = aux[items_slot]
+                dx0 = dxs.get(bi)
+                if dx0 is None:
+                    dx0 = jnp.zeros((padB, cp, nrhs), vv.dtype)
+                elif dx0.shape[0] < padB:
+                    dx0 = jnp.concatenate(
+                        [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
+                                        vv.dtype)])
+
+                def step(dx, b0lo, below=below, rows_c=rows_c,
+                         nb=nb, subp=subp):
+                    b0, lo = b0lo[0], b0lo[1]
+                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
+                    ids = lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, subp), 2)
+                    oh = (rc[:, :, None] == ids).astype(vv.dtype)
+                    av = jax.lax.dynamic_slice(
+                        acc, (lo, jnp.zeros((), lo.dtype)), (subp, nrhs))
+                    t = jnp.einsum("brs,sn->brn", oh, av,
+                                   preferred_element_type=vv.dtype)
+                    delta = jnp.einsum("brc,brn->bcn", bl, t,
+                                       preferred_element_type=vv.dtype)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        dx, delta, b0, axis=0), None
+
+                dx0, _ = jax.lax.scan(step, dx0, b0lo)
+                dxs[bi] = dx0
+            return dxs
+
+        def solve(data, v, aux):
+            nrhs = v.shape[1]
+            ext = jnp.concatenate([data, jnp.zeros(margin, data.dtype)])
+            vv = jnp.concatenate([v, jnp.zeros((1, nrhs), v.dtype)])
+            # forward (L) pass
+            for info in levels:
+                if info["dense"] is not None:
+                    xs, belows = {}, {}
+                    for bi, sb in enumerate(info["buckets"]):
+                        vv, x, below = self._diag_solve(
+                            ext, vv, sb, order, False, ret_xb=True)
+                        if below is not None:
+                            xs[bi], belows[bi] = x, below
+                    if xs:
+                        vv = dense_below_fwd(vv, info, xs, belows, aux)
+                else:
+                    for i, sb in enumerate(info["buckets"]):
+                        bidx = aux[info["bidx"][i]] \
+                            if i in info["bidx"] else None
+                        vv = self._diag_solve(ext, vv, sb, order, False,
+                                              bidx)
+            # backward (Lt) pass
+            for info in reversed(levels):
+                if info["dense"] is not None:
+                    belows = {}
+                    for bi, sb in enumerate(info["buckets"]):
+                        if sb.rp > 0:
+                            panels = self._read_panels(ext, sb)
+                            belows[bi] = panels[:, sb.cp:]
+                    dxs = dense_dx(vv, info, belows, aux) if belows else {}
+                    for bi, sb in enumerate(info["buckets"]):
+                        dx = dxs.get(bi)
+                        if dx is not None:
+                            dx = dx[:len(sb.off)]
+                        vv = self._diag_solve(ext, vv, sb, order, True,
+                                              dx=dx)
+                else:
+                    for i, sb in enumerate(info["buckets"]):
+                        bidx = aux[info["bidx"][i]] \
+                            if i in info["bidx"] else None
+                        vv = self._diag_solve(ext, vv, sb, order, True,
+                                              bidx)
+            return vv[:order]
+
+        return solve, aux_np
 
     # -- symmetric block mat-vec (fully parallel, no level deps) --------
     def make_add_mv(self, start_lump: int):

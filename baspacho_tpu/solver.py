@@ -211,6 +211,10 @@ class Solver:
     # -- solve ----------------------------------------------------------
     def solve(self, mat_data, rhs):
         n = self.skel.num_lumps
+        if hasattr(self.backend, "make_solve"):
+            # fused single-program L+Lt solve (planned backend)
+            return self._timed(self.stats.solve_l, self._run_solve_like(
+                "solveFull", self.backend.make_solve, mat_data, rhs, 0, n))
         rhs = self._timed(self.stats.solve_l, self._run_solve_like(
             "solveL", self.backend.make_solve_l, mat_data, rhs, 0, n))
         return self._timed(self.stats.solve_lt, self._run_solve_like(

@@ -116,7 +116,7 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
         if prods:
             flat = jnp.concatenate(prods) if len(prods) > 1 else prods[0]
             npairs = sum(len(pb.src_base) for pb in pair_buckets)
-            nel = sum(len(pb.src_base) * pb.rsp * pb.stride
+            nel = sum(len(pb.src_base) * pb.rsp * pb.csp
                       for pb in pair_buckets)
 
             def asmbl_op(e, f):
