@@ -201,24 +201,68 @@ class Optimizer:
             self._plans.append((slots, pairs))
 
     # -- cost / grad / hessian ------------------------------------------
+    CHUNK_OBS = 131072  # factor families beyond this run the grad/Hessian
+    #                     assembly as a lax.scan over uniform chunks (so
+    #                     per-chunk index/Jacobian tensors stay bounded —
+    #                     a 2.6M-observation BA otherwise materializes
+    #                     multi-GB index tensors)
+
     def _gather_aux(self):
         """Large per-family index/const arrays as a pytree passed into the
         jitted computations (baking them in as constants makes lowering
-        slow, esp. on remote-compile platforms)."""
+        slow, esp. on remote-compile platforms). Families larger than
+        CHUNK_OBS get their arrays padded and reshaped to (nchunks, C,
+        ...) plus a validity mask; padded entries index slot 0 but their
+        contributions are masked to zero and their scatter targets point
+        at the sacrificial grad/Hessian slots."""
         if getattr(self, "_aux", None) is not None:
             return self._aux
+        self._aux_chunked = []
+        order = self.solver.order
+        dsize = self.solver.data_size
         aux = []
         for ff, (slots, pairs) in zip(self.factor_families, self._plans):
+            F = len(ff.slots[0][1])
+            C = self.CHUNK_OBS
+            if F <= C:
+                fam_aux = {
+                    "ix": [jnp.asarray(ix) for _, ix in ff.slots],
+                    "consts": [jnp.asarray(c) for c in ff.consts],
+                    "vec_off": [None if v is None else jnp.asarray(v)
+                                for v in slots],
+                    "pairs": [(jnp.asarray(off), jnp.asarray(stride),
+                               jnp.asarray(flip))
+                              for _, _, off, stride, flip in pairs],
+                    "mask": None,
+                }
+                aux.append(fam_aux)
+                self._aux_chunked.append(False)
+                continue
+            nc = (F + C - 1) // C
+            Fp = nc * C
+
+            def padc(a, fill):
+                a = np.asarray(a)
+                out = np.concatenate(
+                    [a, np.full((Fp - F,) + a.shape[1:], fill, a.dtype)])
+                return jnp.asarray(out.reshape((nc, C) + a.shape[1:]))
+
+            mask = np.zeros(Fp, np.float32)
+            mask[:F] = 1.0
             fam_aux = {
-                "ix": [jnp.asarray(ix) for _, ix in ff.slots],
-                "consts": [jnp.asarray(c) for c in ff.consts],
-                "vec_off": [None if v is None else jnp.asarray(v)
+                "ix": [padc(ix, 0) for _, ix in ff.slots],
+                "consts": [padc(np.asarray(c),
+                                np.asarray(c).ravel()[0])
+                           for c in ff.consts],
+                "vec_off": [None if v is None else padc(v, order)
                             for v in slots],
-                "pairs": [(jnp.asarray(off), jnp.asarray(stride),
-                           jnp.asarray(flip))
+                "pairs": [(padc(off, dsize), padc(stride, 1),
+                           padc(flip, False))
                           for _, _, off, stride, flip in pairs],
+                "mask": jnp.asarray(mask.reshape(nc, C)),
             }
             aux.append(fam_aux)
+            self._aux_chunked.append(True)
         self._aux = aux
         return aux
 
@@ -244,9 +288,14 @@ class Optimizer:
         s = jnp.sum(r * r, axis=-1)
         w = ff.loss.weight(s)
         sw = jnp.sqrt(w)
+        if fam_aux.get("chunk_mask") is not None:
+            sw = sw * fam_aux["chunk_mask"]
         r_w = r * sw[:, None]
         jacs_w = tuple(j * sw[:, None, None] for j in jacs)
-        cost = 0.5 * jnp.sum(ff.loss.val(s))
+        cost = 0.5 * jnp.sum(ff.loss.val(s) *
+                             (fam_aux["chunk_mask"]
+                              if fam_aux.get("chunk_mask") is not None
+                              else 1.0))
         return cost, r_w, jacs_w
 
     def compute_cost(self, values_list):
@@ -255,8 +304,16 @@ class Optimizer:
             def cost_fn(values_list, aux):
                 total = 0.0
                 for fi, ff in enumerate(self.factor_families):
+                    F = len(ff.slots[0][1])
                     ixs = aux[fi]["ix"] if aux else                         [jnp.asarray(ix) for _, ix in ff.slots]
                     cs = aux[fi]["consts"] if aux else                         [jnp.asarray(c) for c in ff.consts]
+                    if aux and self._aux_chunked[fi]:
+                        # chunked aux arrays are (nc, C, ...): flatten
+                        # and drop the padding tail
+                        ixs = [a.reshape((-1,) + a.shape[2:])[:F]
+                               for a in ixs]
+                        cs = [a.reshape((-1,) + a.shape[2:])[:F]
+                              for a in cs]
                     vals = [values_list[f][ix]
                             for (f, _), ix in zip(ff.slots, ixs)]
                     r = jax.vmap(lambda vs, c: ff.residual_fn(*vs, *c))(
@@ -277,6 +334,37 @@ class Optimizer:
             jnp.asarray(values_list[0]).dtype
         return self._jit_gh(list(values_list), aux, dtype=jnp.dtype(dt).name)
 
+    def _accumulate_family(self, hdata, grad, values_list, ff, pairs,
+                           chunk_aux, dtype):
+        """One family's (or one chunk's) grad/Hessian contributions.
+        Index tensors are built flat (B, ti*tj): on TPU a trailing
+        length-1 or tiny dim gets tiled to 128 lanes, which turns a
+        (B, 9, 9)-shaped index tensor into gigabytes at BA scale."""
+        cost, r, jacs = self._family_terms(values_list, ff, chunk_aux)
+        for k, vec_off in enumerate(chunk_aux["vec_off"]):
+            if vec_off is None:
+                continue
+            td = self.families[ff.slots[k][0]].tangent_dim
+            g = jnp.einsum("bri,br->bi", jacs[k], r,
+                           preferred_element_type=dtype)
+            idx = vec_off[:, None] + jnp.arange(td)[None, :]
+            grad = grad.at[idx].add(g)
+        for (k, l, _, _, _), (off, stride, flip) in zip(
+                pairs, chunk_aux["pairs"]):
+            ti = self.families[ff.slots[k][0]].tangent_dim
+            tj = self.families[ff.slots[l][0]].tangent_dim
+            h = jnp.einsum("bri,brj->bij", jacs[k], jacs[l],
+                           preferred_element_type=dtype)
+            rr = (jnp.arange(ti * tj) // tj)[None, :]
+            cc = (jnp.arange(ti * tj) % tj)[None, :]
+            offb = off[:, None]
+            strb = stride[:, None]
+            plain = offb + rr * strb + cc
+            flipped = offb + cc * strb + rr
+            idx = jnp.where(flip[:, None], flipped, plain)
+            hdata = hdata.at[idx].add(h.reshape(-1, ti * tj))
+        return hdata, grad, cost
+
     def _grad_hess_impl(self, values_list, aux, dtype):
         dtype = jnp.dtype(dtype)
         solver = self.solver
@@ -286,30 +374,39 @@ class Optimizer:
         for fi, (ff, (slots, pairs)) in enumerate(
                 zip(self.factor_families, self._plans)):
             fam_aux = aux[fi]
-            cost, r, jacs = self._family_terms(values_list, ff, fam_aux)
-            total_cost = total_cost + cost
-            for k, vec_off in enumerate(fam_aux["vec_off"]):
-                if vec_off is None:
-                    continue
-                td = self.families[ff.slots[k][0]].tangent_dim
-                g = jnp.einsum("bri,br->bi", jacs[k], r,
-                               preferred_element_type=dtype)
-                idx = vec_off[:, None] + jnp.arange(td)[None, :]
-                grad = grad.at[idx].add(g)
-            for (k, l, _, _, _), (off, stride, flip) in zip(
-                    pairs, fam_aux["pairs"]):
-                ti = self.families[ff.slots[k][0]].tangent_dim
-                tj = self.families[ff.slots[l][0]].tangent_dim
-                h = jnp.einsum("bri,brj->bij", jacs[k], jacs[l],
-                               preferred_element_type=dtype)
-                r_ = jnp.arange(ti)[None, :, None]
-                c_ = jnp.arange(tj)[None, None, :]
-                offb = off[:, None, None]
-                strb = stride[:, None, None]
-                plain = offb + r_ * strb + c_
-                flipped = offb + c_ * strb + r_
-                idx = jnp.where(flip[:, None, None], flipped, plain)
-                hdata = hdata.at[idx].add(h)
+            if not self._aux_chunked[fi]:
+                ch = dict(fam_aux)
+                ch["chunk_mask"] = None
+                hdata, grad, cost = self._accumulate_family(
+                    hdata, grad, values_list, ff, pairs, ch, dtype)
+                total_cost = total_cost + cost
+                continue
+
+            xs = {
+                "ix": fam_aux["ix"],
+                "consts": fam_aux["consts"],
+                "vec_off": [v for v in fam_aux["vec_off"]
+                            if v is not None],
+                "pairs": fam_aux["pairs"],
+                "mask": fam_aux["mask"],
+            }
+            live = [i for i, v in enumerate(fam_aux["vec_off"])
+                    if v is not None]
+
+            def body(carry, x, ff=ff, pairs=pairs, live=live):
+                hdata, grad, cst = carry
+                vo = [None] * len(ff.slots)
+                for i, v in zip(live, x["vec_off"]):
+                    vo[i] = v
+                ch = {"ix": x["ix"], "consts": x["consts"],
+                      "vec_off": vo, "pairs": x["pairs"],
+                      "chunk_mask": x["mask"]}
+                hdata, grad, cost = self._accumulate_family(
+                    hdata, grad, values_list, ff, pairs, ch, dtype)
+                return (hdata, grad, cst + cost.astype(cst.dtype)), None
+
+            (hdata, grad, total_cost), _ = jax.lax.scan(
+                body, (hdata, grad, jnp.asarray(total_cost, dtype)), xs)
         return total_cost, grad[:-1], hdata[:-1]
 
     # -- diagnostics ------------------------------------------------------

@@ -102,6 +102,19 @@ class Solver:
               f"  sparse elim ranges: {self.sparse_elim_ranges}")
         print(self.stats)
 
+    def profile_ops(self, data, reps: int = 5):
+        """Per-op profiling mode: re-runs the factor schedule as separate
+        synced jitted pieces (the only way to attribute time under XLA
+        fusion), records (op, shape..., seconds) samples, and aggregates
+        them into the per-op stats shown by print_stats — the reference's
+        OpStat-per-category view (MatOps.h:84-101). Returns the raw
+        records (the `bench -Z` CSV analog, consumable by
+        stats.fit_computation_model)."""
+        from .stats import profile_factor
+        records = profile_factor(self, data, reps=reps)
+        self.stats.record_profile(records)
+        return records
+
     def _timed(self, stat, out):
         if stat.enabled:
             import jax

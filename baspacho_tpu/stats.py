@@ -32,19 +32,49 @@ class SolverStats:
     solve_l: OpStat = field(default_factory=OpStat)
     solve_lt: OpStat = field(default_factory=OpStat)
     add_mv: OpStat = field(default_factory=OpStat)
+    # per-op categories (reference MatOps.h:84-101 keeps potrf/trsm/syge/
+    # asmbl OpStats on the symbolic ctx); under XLA whole calls fuse, so
+    # these are populated by the profiling mode (Solver.profile_ops)
+    potrf: OpStat = field(default_factory=OpStat)
+    trsm: OpStat = field(default_factory=OpStat)
+    syge: OpStat = field(default_factory=OpStat)
+    asmbl: OpStat = field(default_factory=OpStat)
+
+    def _all(self):
+        return (self.factor, self.solve_l, self.solve_lt, self.add_mv,
+                self.potrf, self.trsm, self.syge, self.asmbl)
 
     def enable(self, enabled: bool = True):
-        for s in (self.factor, self.solve_l, self.solve_lt, self.add_mv):
+        for s in self._all():
             s.enabled = enabled
 
     def reset(self):
-        for s in (self.factor, self.solve_l, self.solve_lt, self.add_mv):
+        for s in self._all():
             s.reset()
 
+    def record_profile(self, records) -> None:
+        """Aggregate per-op profile records (see profile_factor) into the
+        per-op OpStat counters — the reference's printStats layout."""
+        by = {"potrf": self.potrf, "trsm": self.trsm, "syge": self.syge,
+              "asmbl": self.asmbl}
+        for op, a, b, c, t in records:
+            st = by.get(op)
+            if st is not None:
+                was = st.enabled
+                st.enabled = True
+                st.record(t)
+                st.enabled = was
+
     def __str__(self):
-        return (f"Solver timings:\n  factor: {self.factor}\n"
-                f"  solveL: {self.solve_l}\n  solveLt: {self.solve_lt}\n"
-                f"  addMv: {self.add_mv}")
+        out = (f"Solver timings:\n  factor: {self.factor}\n"
+               f"  solveL: {self.solve_l}\n  solveLt: {self.solve_lt}\n"
+               f"  addMv: {self.add_mv}")
+        if any(s.num_runs for s in (self.potrf, self.trsm, self.syge,
+                                    self.asmbl)):
+            out += (f"\nPer-op (profiled):\n  potrf: {self.potrf}\n"
+                    f"  trsm: {self.trsm}\n  syge: {self.syge}\n"
+                    f"  asmbl: {self.asmbl}")
+        return out
 
 
 def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:

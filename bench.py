@@ -110,6 +110,18 @@ def main():
     ap.add_argument("--bal-pts", type=int, default=527480)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--select", default=None,
+                    help="regex over synthetic problem names; all matches "
+                         "run in sequence (reference bench -S)")
+    ap.add_argument("--exclude", default=None,
+                    help="regex of problems to skip (reference bench -X)")
+    ap.add_argument("--solve-rhs", type=int, default=1,
+                    help="RHS count for the solve timing (reference "
+                         "solve-N ops)")
+    ap.add_argument("--csv", default=None,
+                    help="dump per-op profile records (op,a,b,c,seconds) "
+                         "to this CSV and print per-op stats (reference "
+                         "bench -Z, feeds tools/fit_computation_model.py)")
     args = ap.parse_args()
 
     import jax
@@ -125,33 +137,47 @@ def main():
 
     # reference times (seconds) for the same problem family: CUDA backend
     # on RTX 5000 (see BASELINE.md); used for the vs_baseline ratio
-    if args.problem == "flat1000":
-        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
-        elim = []
-        psize = np.full(1000, 3)
-        ref_cuda_s = 0.053
-        metric = "flat1000_factor_ms"
-    elif args.problem == "flat_schur":
+    def _flat1000():
+        return (SparseMatGenerator.gen_flat(1000, 0.1, seed=37),
+                np.full(1000, 3), [], 0.053, "flat1000_factor_ms")
+
+    def _flat_schur():
         gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
         gen.add_schur_set(5000, 0.02)
-        psize = np.full(6000, 3)
-        elim = [0, 5000]
-        ref_cuda_s = 0.117 * 0.2  # scaled: reference used schursize=50000
-        metric = "flat_schur_factor_ms"
-    elif args.problem == "grid":
-        gen = SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37)
-        psize = np.full(10000, 3)
-        elim = []
-        ref_cuda_s = 0.27 * 0.25  # scaled from 200x200 batch-8 number
-        metric = "grid100_factor_ms"
-    elif args.problem == "meri":
+        # scaled: reference used schursize=50000
+        return gen, np.full(6000, 3), [0, 5000], 0.117 * 0.2, \
+            "flat_schur_factor_ms"
+
+    def _grid():
+        # ref scaled from the 200x200 batch-8 number
+        return (SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37),
+                np.full(10000, 3), [], 0.27 * 0.25, "grid100_factor_ms")
+
+    def _meri():
         gen = SparseMatGenerator.gen_meridians(7, 150, 0.2, 10, 20, 2, 2,
                                                seed=37)
-        psize = np.full(gen.size, 3)
-        elim = []
-        ref_cuda_s = 0.082  # reference MERI n=7, CUDA batch-16 per-matrix
-        metric = "meri7_factor_ms"
-    elif args.problem == "bal":
+        # reference MERI n=7, CUDA batch-16 per-matrix
+        return gen, np.full(gen.size, 3), [], 0.082, "meri7_factor_ms"
+
+    SYNTHETIC = {"flat1000": _flat1000, "flat_schur": _flat_schur,
+                 "grid": _grid, "meri": _meri}
+
+    if args.select or (args.problem in SYNTHETIC and args.exclude):
+        import re
+        sel = re.compile(args.select or ".*")
+        exc = re.compile(args.exclude) if args.exclude else None
+        names = [n for n in SYNTHETIC
+                 if sel.search(n) and not (exc and exc.search(n))]
+        log(f"selected problems: {names}")
+        for name in names:
+            _run_synthetic(name, SYNTHETIC[name], args, dtype)
+        return
+
+    if args.problem in SYNTHETIC:
+        _run_synthetic(args.problem, SYNTHETIC[args.problem], args, dtype)
+        return
+
+    if args.problem == "bal":
         # bundle-adjustment Hessian: Schur-eliminated landmarks + cameras
         # (structure of BAL problem-301-30000-like; reference
         # BaAtLargeBench.cpp benchmarks the same shape)
@@ -269,7 +295,7 @@ def main():
         f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
         f"dataSize={solver.data_size}")
 
-    if args.problem == "batch":
+    if True:
         B = 256
         datas = np.stack([
             np.asarray(solver.skel.damp(
@@ -293,17 +319,36 @@ def main():
             "unit": "ms", "vs_baseline": round(per_matrix / ref_cuda_s, 4)}))
         return
 
+
+def _run_synthetic(name, make, args, dtype):
+    """One synthetic problem: symbolic analysis + factor + solve-N
+    timing, residual check, optional per-op CSV dump (-Z analog)."""
+    import jax
+    from baspacho_tpu import BackendType, Settings, create_solver
+    from baspacho_tpu.testing import random_spd_data
+
+    gen, psize, elim, ref_cuda_s, metric = make()
+    ss = gen.to_structure()
+    t0 = time.perf_counter()
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           psize, ss, sparse_elim_ranges=elim)
+    log(f"[{name}] symbolic analysis: {time.perf_counter() - t0:.2f}s  "
+        f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
+        f"dataSize={solver.data_size}")
+
     data = random_spd_data(solver.data_size, solver.order, 1, dtype)
-    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5), dtype)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5),
+                      dtype)
     jd = jax.device_put(data)
+    nrhs = max(1, args.solve_rhs)
     rhs = jax.device_put(
-        np.random.RandomState(0).rand(solver.order, 1).astype(dtype))
+        np.random.RandomState(0).rand(solver.order, nrhs).astype(dtype))
 
     tf = time_op(lambda: solver.factor(jd), n=args.reps)
     f = solver.factor(jd)
     ts = time_op(lambda: solver.solve(f, rhs), n=args.reps)
-    log(f"factor: {tf*1e3:.2f} ms   solve(1 rhs): {ts*1e3:.2f} ms")
-    solve_s = ts
+    log(f"[{name}] factor: {tf*1e3:.2f} ms   "
+        f"solve({nrhs} rhs): {ts*1e3:.2f} ms")
 
     # accuracy: relative factor residual ||L L^T - A|| / ||A||
     # (host densify is O(order^2); skip for very large systems)
@@ -313,7 +358,18 @@ def main():
                                     fill_upper_half=True)
         L = np.tril(solver.skel.densify(fn))
         resid = float(np.abs(L @ L.T - dense).max() / np.abs(dense).max())
-        log(f"factor relative residual: {resid:.2e}")
+        log(f"[{name}] factor relative residual: {resid:.2e}")
+
+    if args.csv:
+        records = solver.profile_ops(jd, reps=max(2, args.reps // 2))
+        mode = "a" if getattr(_run_synthetic, "_csv_started", False) else "w"
+        with open(args.csv, mode) as fh:
+            if mode == "w":
+                fh.write("op,a,b,c,seconds\n")
+            for op, a, b, c, t in records:
+                fh.write(f"{op},{a},{b},{c},{t:.9f}\n")
+        _run_synthetic._csv_started = True
+        solver.print_stats()
 
     # headline: factor wall time vs the reference CUDA backend's factor
     # time on the matching problem (solve time reported on stderr)

@@ -279,3 +279,32 @@ def test_differentiable_solve_multi_rhs():
         fd = (float(loss(jnp.asarray(hp), jnp.asarray(rhs))) -
               float(loss(jnp.asarray(hm), jnp.asarray(rhs)))) / (2 * eps)
         assert abs(fd - float(gh[k])) < 1e-5 * max(1.0, abs(fd))
+
+
+def test_grad_hess_chunked_matches_unchunked():
+    """Chunked (lax.scan) grad/Hessian assembly must be bit-comparable to
+    the single-shot path (large-F families chunk to bound index tensors)."""
+    from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
+    from baspacho_tpu.optimizer.optimizer import Optimizer as Opt
+
+    prob = make_random_bal(n_cams=6, n_pts=60, track_len=3, seed=4,
+                           noise=0.5)
+
+    def run(chunk):
+        old = Opt.CHUNK_OBS
+        Opt.CHUNK_OBS = chunk
+        try:
+            opt, _, _ = build_ba_optimizer(prob)
+            opt.build_solver(OptimizerSettings())
+            values = [f.values for f in opt.families]
+            c, g, h = opt.compute_grad_hess(values)
+            return float(c), np.asarray(g), np.asarray(h)
+        finally:
+            Opt.CHUNK_OBS = old
+
+    c1, g1, h1 = run(1 << 30)   # single shot
+    c2, g2, h2 = run(16)        # 180 obs -> ~12 chunks
+    assert abs(c1 - c2) < 1e-9 * max(1.0, abs(c1))
+    scale = max(1.0, float(np.abs(h1).max()))
+    assert np.max(np.abs(g1 - g2)) < 1e-9 * max(1.0, np.abs(g1).max())
+    assert np.max(np.abs(h1 - h2)) < 1e-9 * scale

@@ -23,11 +23,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=int, nargs="+", default=[200, 500, 1000])
     ap.add_argument("--fills", type=float, nargs="+", default=[0.05, 0.1])
+    ap.add_argument("--csv", default=None,
+                    help="fit from a bench.py --csv dump instead of "
+                         "profiling in-process (the reference's "
+                         "bench -Z -> opt_comp_model flow)")
     args = ap.parse_args()
 
     from baspacho_tpu import BackendType, Settings, create_solver
     from baspacho_tpu.stats import fit_computation_model, profile_factor
     from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    if args.csv:
+        records = []
+        with open(args.csv) as fh:
+            next(fh)  # header
+            for line in fh:
+                op, a, b, c, t = line.strip().split(",")
+                records.append((op, float(a), float(b), float(c),
+                                float(t)))
+        _emit(fit_computation_model(records))
+        return
 
     records = []
     for n in args.sizes:
@@ -46,7 +61,10 @@ def main():
                   file=sys.stderr)
             records.extend(rec)
 
-    cm = fit_computation_model(records)
+    _emit(fit_computation_model(records))
+
+
+def _emit(cm):
     print("# fitted ComputationModel (paste into computation_model.py):")
     print("model_tpu_fitted = ComputationModel(")
     print(f"    potrf_params={cm.potrf_params.tolist()},")
