@@ -81,13 +81,19 @@ class CoalescedBlockMatrixSkel:
         span_size = span_start[1:] - span_start[:-1]
         lump_size = lump_start[1:] - lump_start[:-1]
 
-        # validate: each column starts with its full diagonal block
-        for l in range(num_lumps):
-            cs, ce = col_ptr[l], col_ptr[l + 1]
-            s0, s1 = lump_to_span[l], lump_to_span[l + 1]
-            assert is_strictly_increasing(row_ind[cs:ce])
-            assert ce - cs >= s1 - s0
-            assert row_ind[cs] == s0 and row_ind[cs + (s1 - s0) - 1] == s1 - 1
+        # validate (vectorized): rows strictly increase within each column
+        # and each column starts with its full diagonal block
+        col_len = col_ptr[1:] - col_ptr[:-1]
+        if len(row_ind) > 1:
+            inc = np.diff(row_ind) > 0
+            boundary = np.zeros(len(row_ind) - 1, dtype=bool)
+            b = col_ptr[1:-1] - 1
+            boundary[b[(b >= 0) & (b < len(boundary))]] = True
+            assert np.all(inc | boundary)
+        assert np.all(col_len >= span_counts)
+        assert np.all(row_ind[col_ptr[:-1]] == lump_to_span[:-1])
+        assert np.all(row_ind[col_ptr[:-1] + span_counts - 1] ==
+                      lump_to_span[1:] - 1)
 
         # chains (column-ordered)
         self.chain_col_ptr = col_ptr.copy()
@@ -140,43 +146,39 @@ class CoalescedBlockMatrixSkel:
         self.chain_data = chain_data
 
         # boards: runs of chains with the same row-lump, per column, with a
-        # terminating sentinel per column
-        board_row_lump = []
-        board_chain_col_ord = []
-        board_col_ptr = np.empty(num_lumps + 1, dtype=np.int64)
-        for l in range(num_lumps):
-            board_col_ptr[l] = len(board_row_lump)
-            cs, ce = col_ptr[l], col_ptr[l + 1]
-            rl = span_to_lump[row_ind[cs:ce]]
-            if ce > cs:
-                starts = np.concatenate(
-                    [[0], np.nonzero(rl[1:] != rl[:-1])[0] + 1])
-                board_row_lump.extend(rl[starts].tolist())
-                board_chain_col_ord.extend(starts.tolist())
-            board_row_lump.append(INVALID)
-            board_chain_col_ord.append(int(ce - cs))
-        board_col_ptr[num_lumps] = len(board_row_lump)
+        # terminating sentinel per column (vectorized: every column is
+        # nonempty — diagonal chains are mandatory — so the k-th run start
+        # globally lands at flat board position k + its column index, each
+        # earlier column contributing exactly one sentinel)
+        rl_all = span_to_lump[row_ind]
+        is_start = np.zeros(len(row_ind), dtype=bool)
+        if len(row_ind):
+            is_start[col_ptr[:-1]] = True
+            is_start[1:] |= rl_all[1:] != rl_all[:-1]
+        starts = np.nonzero(is_start)[0]
+        start_col = chain_col[starts]
+        nboards = len(starts) + num_lumps  # + one sentinel per column
+        board_row_lump = np.full(nboards, INVALID, dtype=np.int64)
+        board_chain_col_ord = np.empty(nboards, dtype=np.int64)
+        pos = np.arange(len(starts)) + start_col
+        board_row_lump[pos] = rl_all[starts]
+        board_chain_col_ord[pos] = starts - col_ptr[start_col]
+        starts_per_col = np.bincount(start_col, minlength=num_lumps)
+        board_col_ptr = cum_sum_vec(starts_per_col + 1)
+        board_chain_col_ord[board_col_ptr[1:] - 1] = col_len
         self.board_col_ptr = board_col_ptr
-        self.board_row_lump = np.array(board_row_lump, dtype=np.int64)
-        self.board_chain_col_ord = np.array(board_chain_col_ord, dtype=np.int64)
+        self.board_row_lump = board_row_lump
+        self.board_chain_col_ord = board_chain_col_ord
 
         # row-ordered boards: for each row-lump, the (col-lump, ord-in-col)
         # of every board in that row, sorted by column
-        b_rows = []
-        b_cols = []
-        b_ords = []
-        for l in range(num_lumps):
-            bs, be = board_col_ptr[l], board_col_ptr[l + 1] - 1
-            rls = self.board_row_lump[bs:be]
-            b_rows.append(rls)
-            b_cols.append(np.full(be - bs, l, dtype=np.int64))
-            b_ords.append(np.arange(be - bs, dtype=np.int64))
-        if b_rows:
-            b_rows = np.concatenate(b_rows)
-            b_cols = np.concatenate(b_cols)
-            b_ords = np.concatenate(b_ords)
-        else:
-            b_rows = b_cols = b_ords = np.empty(0, dtype=np.int64)
+        colof = np.repeat(np.arange(num_lumps, dtype=np.int64),
+                          np.diff(board_col_ptr))
+        within = np.arange(nboards) - board_col_ptr[colof]
+        sel = board_row_lump != INVALID
+        b_rows = board_row_lump[sel]
+        b_cols = colof[sel]
+        b_ords = within[sel]
         order_ = np.argsort(b_rows, kind="stable")
         self.board_row_ptr = cum_sum_vec(np.bincount(b_rows, minlength=num_lumps))
         self.board_col_lump = b_cols[order_]
@@ -251,15 +253,14 @@ class CoalescedBlockMatrixSkel:
 
     def damp_indices(self) -> np.ndarray:
         """Flat-data indices of all diagonal elements of the matrix."""
-        parts = []
-        for a in range(self.num_lumps):
-            base = int(self.panel_base[a])
-            size = int(self.lump_start[a + 1] - self.lump_start[a])
-            stride = int(self.col_stride[a])
-            parts.append(base +
-                         np.arange(size, dtype=np.int64) * (stride + 1))
-        return (np.concatenate(parts) if parts
-                else np.empty(0, dtype=np.int64))
+        nl = self.num_lumps
+        size = self.lump_start[1:] - self.lump_start[:-1]
+        tot = int(size.sum())
+        lump_of = np.repeat(np.arange(nl, dtype=np.int64), size)
+        within = np.arange(tot, dtype=np.int64) - \
+            np.repeat(self.lump_start[:-1], size)
+        return self.panel_base[lump_of] + \
+            within * (self.col_stride[lump_of] + 1)
 
     def data_coords(self) -> tuple:
         """Per-flat-data-slot matrix coordinates (row, col) of the LOWER
@@ -291,18 +292,27 @@ class CoalescedBlockMatrixSkel:
 
     def padding_mask(self) -> np.ndarray:
         """0/1 mask over flat data: 1 at real positions, 0 at padding.
-        All-ones when the layout is unpadded."""
-        mask = np.zeros(self.data_size, dtype=np.int8)
+        All-ones when the layout is unpadded. Vectorized as run
+        boundaries + cumsum: every real row of every panel is one
+        contiguous run of `width` elements."""
         lump_size = self.lump_start[1:] - self.lump_start[:-1]
-        for a in range(self.num_lumps):
-            base = int(self.panel_base[a])
-            w = int(lump_size[a])
-            stride = int(self.col_stride[a])
-            br = int(self.below_rows[a])
-            idx = base + np.arange(w)[:, None] * stride + np.arange(w)
-            mask[idx.ravel()] = 1
-            if br:
-                b0 = base + stride * stride
-                idx = b0 + np.arange(br)[:, None] * stride + np.arange(w)
-                mask[idx.ravel()] = 1
-        return mask
+        nl = self.num_lumps
+
+        def row_starts(row0, nrows):
+            tot = int(nrows.sum())
+            lump_of = np.repeat(np.arange(nl, dtype=np.int64), nrows)
+            csum = np.concatenate([[0], np.cumsum(nrows)[:-1]])
+            within = np.arange(tot, dtype=np.int64) - \
+                np.repeat(csum, nrows)
+            return self.panel_base[lump_of] + \
+                (row0[lump_of] + within) * self.col_stride[lump_of], lump_of
+
+        z = np.zeros(nl, dtype=np.int64)
+        s1, l1 = row_starts(z, lump_size)                    # diag rows
+        s2, l2 = row_starts(self.col_stride, self.below_rows)  # below rows
+        starts = np.concatenate([s1, s2])
+        widths = np.concatenate([lump_size[l1], lump_size[l2]])
+        delta = np.zeros(self.data_size + 1, dtype=np.int32)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, starts + widths, -1)
+        return (np.cumsum(delta[:-1]) > 0).astype(np.int8)

@@ -76,6 +76,9 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_full_elim_fill_fill.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
     lib.bs_build_etree.restype = ctypes.c_int
     lib.bs_build_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p]
+    lib.bs_level_schedule.restype = ctypes.c_int
+    lib.bs_level_schedule.argtypes = [ctypes.c_int64, i64p, i64p,
+                                      ctypes.c_int64, i64p]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.bs_compute_merges.restype = ctypes.c_int64
     lib.bs_compute_merges.argtypes = [
@@ -173,6 +176,22 @@ def try_compute_merges(csc_ptrs, csc_rows, psize, parent, node_size,
     if nm < 0:
         return None
     return merge_with, num_merged, int(nm), sy, asm
+
+
+def try_level_schedule(board_row_ptr, board_col_lump, max_factor_lump):
+    """Elimination-tree level schedule; returns (n,) levels or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(board_row_ptr) - 1
+    brp = np.ascontiguousarray(board_row_ptr, dtype=np.int64)
+    bcl = np.ascontiguousarray(board_col_lump, dtype=np.int64)
+    levels = np.zeros(n, dtype=np.int64)
+    rc = lib.bs_level_schedule(n, _as_i64p(brp), _as_i64p(bcl),
+                               int(max_factor_lump), _as_i64p(levels))
+    if rc != 0:
+        return None
+    return levels
 
 
 def try_build_etree(ptrs: np.ndarray, inds: np.ndarray, param_size: np.ndarray):

@@ -84,10 +84,16 @@ class NumericPlan:
     skel: CoalescedBlockMatrixSkel
     sparse_elim_ranges: List[int]
     lumps: List[LumpDesc]
-    spans: List[SpanDesc]
     lump_levels: np.ndarray  # (num_lumps,) level-schedule depth of each lump
     max_factor_lump: int = -1
     boards_built: bool = False
+    _spans: Optional[List[SpanDesc]] = None
+
+    @property
+    def spans(self) -> List[SpanDesc]:
+        if self._spans is None:
+            self._spans = _build_spans(self.skel)
+        return self._spans
 
 
 def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
@@ -132,16 +138,51 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
                                   minlength=num_lumps).astype(np.int64)
     lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
 
-    lumps: List[LumpDesc] = []
-    for l in range(num_lumps):
-        lumps.append(LumpDesc(
-            index=l, col_offset=int(sk.panel_base[l]),
-            total_rows=int(total_rows_arr[l]), size=int(lump_size_arr[l]),
-            stride=int(sk.col_stride[l]), prp=int(sk.padded_below[l]),
-            vec_offset=int(sk.lump_start[l]),
-            below_row_idx=global_rows[lump_row_ptr[l]:lump_row_ptr[l + 1]]))
+    # plain-list iteration: at BAL scale (500k+ lumps) per-element numpy
+    # indexing with int() casts costs seconds; .tolist() once is ~10x
+    co_l = sk.panel_base[:num_lumps].tolist()
+    tr_l = total_rows_arr.tolist()
+    sz_l = lump_size_arr.tolist()
+    st_l = sk.col_stride.tolist()
+    pb_l = sk.padded_below.tolist()
+    vo_l = sk.lump_start[:num_lumps].tolist()
+    rp_l = lump_row_ptr.tolist()
+    lumps: List[LumpDesc] = [
+        LumpDesc(index=l, col_offset=co_l[l], total_rows=tr_l[l],
+                 size=sz_l[l], stride=st_l[l], prp=pb_l[l],
+                 vec_offset=vo_l[l],
+                 below_row_idx=global_rows[rp_l[l]:rp_l[l + 1]])
+        for l in range(num_lumps)]
 
-    # per-span descriptors (for pseudo-factor), vectorized
+    # per-span descriptors (for pseudo-factor) are built lazily — only
+    # the Gauss-Seidel preconditioner setup needs them, and at BAL scale
+    # 500k+ Python objects cost seconds (see ensure_spans)
+
+    # level schedule: level(l) = 1 + max(level of columns updating l);
+    # the updating columns of l are its row-boards' origin lumps
+    # (loop-carried recurrence: C++ fast path, Python fallback)
+    from .. import native
+    levels = native.try_level_schedule(sk.board_row_ptr,
+                                       sk.board_col_lump, max_factor_lump)
+    if levels is None:
+        levels = np.zeros(num_lumps, dtype=np.int64)
+        bc = sk.board_col_lump
+        for l in range(num_lumps):
+            r0, r1 = int(sk.board_row_ptr[l]), int(sk.board_row_ptr[l + 1])
+            origins = bc[r0:r1]
+            origins = origins[(origins < l) & (origins < max_factor_lump)]
+            if len(origins):
+                levels[l] = int(levels[origins].max()) + 1
+
+    return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
+                       lumps=lumps, lump_levels=levels,
+                       max_factor_lump=max_factor_lump)
+
+
+def _build_spans(sk: CoalescedBlockMatrixSkel) -> List[SpanDesc]:
+    span_start = sk.span_start
+    span_size = span_start[1:] - span_start[:-1]
+    lump_size_arr = sk.lump_start[1:] - sk.lump_start[:-1]
     sl = sk.span_to_lump[:-1]
     stride_arr = sk.col_stride[sl]
     base_arr = sk.panel_base[sl]
@@ -151,28 +192,13 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
     b1_off = base_arr + (off_in + span_size) * stride_arr + off_in
     b2_rows = sk.below_rows[sl]
     b2_off = base_arr + stride_arr * stride_arr + off_in
-    spans = [SpanDesc(span=s, diag_offset=int(diag_off_arr[s]),
-                      stride=int(stride_arr[s]), size=int(span_size[s]),
-                      below1_offset=int(b1_off[s]),
-                      below1_rows=int(b1_rows[s]),
-                      below2_offset=int(b2_off[s]),
-                      below2_rows=int(b2_rows[s]))
-             for s in range(sk.num_spans)]
-
-    # level schedule: level(l) = 1 + max(level of columns updating l);
-    # the updating columns of l are its row-boards' origin lumps
-    levels = np.zeros(num_lumps, dtype=np.int64)
-    bc = sk.board_col_lump
-    for l in range(num_lumps):
-        r0, r1 = int(sk.board_row_ptr[l]), int(sk.board_row_ptr[l + 1])
-        origins = bc[r0:r1]
-        origins = origins[(origins < l) & (origins < max_factor_lump)]
-        if len(origins):
-            levels[l] = int(levels[origins].max()) + 1
-
-    return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
-                       lumps=lumps, spans=spans, lump_levels=levels,
-                       max_factor_lump=max_factor_lump)
+    return [SpanDesc(span=s, diag_offset=int(diag_off_arr[s]),
+                     stride=int(stride_arr[s]), size=int(span_size[s]),
+                     below1_offset=int(b1_off[s]),
+                     below1_rows=int(b1_rows[s]),
+                     below2_offset=int(b2_off[s]),
+                     below2_rows=int(b2_rows[s]))
+            for s in range(sk.num_spans)]
 
 
 def ensure_boards(plan: "NumericPlan") -> None:

@@ -208,8 +208,43 @@ class PlannedBackend:
                 prod_flops / self.MXU_FLOPS + \
                 len(pair_buckets) * self.OP_US
             if dense_info["cost"] < pairs_cost:
-                return lump_buckets, [], 0, dense_info
+                # wide-spread "outlier" origins bypass the dense compact
+                # space; their updates run as block-pair scatters
+                out_pb = self._build_outlier_meta(dense_info, lump_buckets)
+                return lump_buckets, out_pb, 0, dense_info
         return lump_buckets, pair_buckets, prod_total, None
+
+    OUTLIER_SPREAD = 512   # floor for the adaptive per-level outlier cap
+
+    def _build_outlier_meta(self, dense, lump_buckets):
+        """Plan the scatter path for dense-level outlier origins: a
+        dedicated flat product buffer (in outlier order) feeds the usual
+        block-pair machinery; `out_groups` records how to fetch each
+        outlier's solved below panel from its bucket's batch, and
+        `out_bidx` its RHS row positions (for the solve)."""
+        outliers = dense["outliers"]
+        dense["out_groups"] = []
+        if not outliers:
+            return []
+        order = self.plan.skel.order
+        origin_pos = {}
+        total = 0
+        by_bucket: Dict[int, list] = {}
+        for bi, i, l in outliers:
+            rp = lump_buckets[bi].rp
+            origin_pos[l] = (total, rp)
+            total += rp * rp
+            by_bucket.setdefault(bi, []).append(i)
+        for bi in sorted(by_bucket):
+            idxs = by_bucket[bi]
+            rp = lump_buckets[bi].rp
+            bidx = np.full((len(idxs), rp), order, dtype=np.int32)
+            for j, i in enumerate(idxs):
+                g = self.plan.lumps[lump_buckets[bi].members[i]]
+                bidx[j, :len(g.below_row_idx)] = g.below_row_idx
+            dense["out_groups"].append((bi, _i32(np.array(idxs)), bidx))
+        lds = [self.plan.lumps[l] for _, _, l in outliers]
+        return self._build_pairs(lds, origin_pos)
 
     CHUNK_W = 2048       # max W width per accumulation chunk
     UNROLL_SLICES = 192  # up to this many slices are unrolled XLA ops
@@ -283,18 +318,42 @@ class PlannedBackend:
         is_touched = np.zeros(sk.num_spans + 1, dtype=bool)
         is_touched[tspans] = True
 
-        # per-bucket compact below-row indices (B, rp); pad rows -> R
+        # per-bucket compact below-row indices (B, rp); pad rows -> R.
+        # Origins whose touched rows SPREAD far wider than typical are
+        # routed to the block-pair scatter path instead (rows masked to
+        # the sentinel here): a few wide-coupling origins — BA loop
+        # closures are the canonical case — would otherwise blow every
+        # chunk's compact sub-interval up to the whole space and make the
+        # one-hot placement quadratically expensive. The cap adapts to
+        # the level (median spread), so levels that are uniformly wide
+        # (e.g. random-fill Schur sets) stay fully dense.
+        crs = {}
+        spreads = []
+        for bi, lb in enumerate(lump_buckets):
+            if lb.rp == 0:
+                continue
+            for i, l in enumerate(lb.members):
+                g = self.plan.lumps[l].below_row_idx
+                s = np.searchsorted(sk.span_start, g, side="right") - 1
+                cr = compact_start[s] + (g - sk.span_start[s])
+                crs[(bi, i)] = cr
+                if len(cr):
+                    spreads.append(int(cr.max() - cr.min()))
+        med = float(np.median(spreads)) if spreads else 0.0
+        out_cap = max(2 * self.SUB_FLOOR, 4 * _ceil_pow2(max(int(med), 1)))
         row_maps = []
-        for lb in lump_buckets:
+        outliers = []  # (bucket index, position in bucket, lump id)
+        for bi, lb in enumerate(lump_buckets):
             if lb.rp == 0:
                 row_maps.append(None)
                 continue
             rows_c = np.full((len(lb.off), lb.rp), R, dtype=np.int64)
             for i, l in enumerate(lb.members):
-                ld = self.plan.lumps[l]
-                g = ld.below_row_idx  # global row positions
-                s = np.searchsorted(sk.span_start, g, side="right") - 1
-                rows_c[i, :len(g)] = compact_start[s] + (g - sk.span_start[s])
+                cr = crs[(bi, i)]
+                if len(cr) and int(cr.max() - cr.min()) > out_cap:
+                    outliers.append((bi, i, l))
+                    continue
+                rows_c[i, :len(cr)] = cr
             row_maps.append(_i32(rows_c))
 
         # chunk groups: per bucket, consecutive member runs with total
@@ -415,7 +474,7 @@ class PlannedBackend:
             return {"R": R, "groups": groups, "row_maps": row_maps,
                     "pad_b": pad_b, "slices": slices, "slice_scans": [],
                     "u_pads": (0, 0, 0), "vec_slices": vec_slices,
-                    "cost": cost}
+                    "outliers": outliers, "cost": cost}
 
         # too many slices to unroll: group by padded (row, stride) shape
         # and run each group as one lax.scan of masked window updates.
@@ -444,7 +503,7 @@ class PlannedBackend:
         return {"R": R, "groups": groups, "row_maps": row_maps,
                 "pad_b": pad_b, "slices": [], "slice_scans": slice_scans,
                 "u_pads": (pr, lc, lc), "vec_slices": vec_slices,
-                "cost": cost}
+                "outliers": outliers, "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         order = self.plan.skel.order
@@ -967,6 +1026,18 @@ class PlannedBackend:
                                 ext, region.reshape(-1), off, axis=0), None
 
                         ext, _ = jax.lax.scan(slice_step, ext, desc)
+                    if pair_buckets:  # outlier origins: block-pair path
+                        prods = []
+                        for bi, idxs, _bidx in dense["out_groups"]:
+                            xo = xs[bi][jnp.asarray(idxs)]
+                            prods.append(jnp.einsum(
+                                "brk,bsk->brs", xo, xo,
+                                preferred_element_type=ext.dtype
+                            ).reshape(-1))
+                        flat = jnp.concatenate(prods) if len(prods) > 1 \
+                            else prods[0]
+                        ext = self._apply_pairs(ext, flat, pair_buckets,
+                                                aux)
                     continue
                 prods = []
                 for lb in lump_buckets:
@@ -1126,6 +1197,11 @@ class PlannedBackend:
                 for gkey, items in dense["groups"].items():
                     info["gslots"][gkey] = len(aux_np)
                     aux_np.append(_i32(np.array(items)))
+                info["out"] = []
+                for bi, idxs, bidx in dense.get("out_groups", []):
+                    slot = len(aux_np)
+                    aux_np.append(bidx)
+                    info["out"].append((bi, idxs, slot))
                 vs = dense["vec_slices"]
                 if len(vs) > self.VEC_SLICE_UNROLL:
                     cidx = np.full(dense["R"], order, dtype=np.int32)
@@ -1263,6 +1339,12 @@ class PlannedBackend:
                             xs[bi], belows[bi] = x, below
                     if xs:
                         vv = dense_below_fwd(vv, info, xs, belows, aux)
+                    for bi, idxs, slot in info["out"]:
+                        ji = jnp.asarray(idxs)
+                        y = jnp.einsum("brk,bkn->brn", belows[bi][ji],
+                                       xs[bi][ji],
+                                       preferred_element_type=vv.dtype)
+                        vv = vv.at[aux[slot]].add(-y)
                 else:
                     for i, sb in enumerate(info["buckets"]):
                         bidx = aux[info["bidx"][i]] \
@@ -1278,6 +1360,19 @@ class PlannedBackend:
                             panels = self._read_panels(ext, sb)
                             belows[bi] = panels[:, sb.cp:]
                     dxs = dense_dx(vv, info, belows, aux) if belows else {}
+                    for bi, idxs, slot in info["out"]:
+                        ji = jnp.asarray(idxs)
+                        tmp = vv[aux[slot]]
+                        delta = jnp.einsum("brk,brn->bkn", belows[bi][ji],
+                                           tmp,
+                                           preferred_element_type=vv.dtype)
+                        dx0 = dxs.get(bi)
+                        if dx0 is None:
+                            sbx = info["buckets"][bi]
+                            dx0 = jnp.zeros(
+                                (len(sbx.off), sbx.cp, vv.shape[1]),
+                                vv.dtype)
+                        dxs[bi] = dx0.at[ji].add(delta)
                     for bi, sb in enumerate(info["buckets"]):
                         dx = dxs.get(bi)
                         if dx is not None:

@@ -176,8 +176,31 @@ class Solver:
             self._fns[key] = entry
         return entry
 
+    def _check_data(self, data):
+        """Input validation on the numeric wrappers (the reference guards
+        every op with BASPACHO_CHECK*, DebugMacros.h:28-51)."""
+        if data.shape[-1] != self.skel.data_size:
+            raise ValueError(
+                f"data has {data.shape[-1]} elements, factor layout needs "
+                f"{self.skel.data_size}")
+        if data.ndim > 2:
+            raise ValueError("data must be (dataSize,) or (batch, dataSize)")
+
+    def _check_rhs(self, v, batched):
+        want = 2 if batched else 1
+        if v.ndim not in (want, want + 1):
+            raise ValueError(
+                f"rhs must have {want} or {want + 1} dims "
+                f"({'batched' if batched else 'unbatched'} data), got "
+                f"{v.ndim}")
+        if v.shape[1 if batched else 0] != self.skel.order:
+            raise ValueError(
+                f"rhs length {v.shape[1 if batched else 0]} != matrix "
+                f"order {self.skel.order}")
+
     def _run_factor_like(self, op: str, make, data, start_l: int, end_l: int):
         data = jnp.asarray(data)
+        self._check_data(data)
         if data.ndim == 1:
             fn, aux = self._get((op, start_l, end_l, 1),
                                 lambda: make(start_l, end_l))
@@ -191,7 +214,9 @@ class Solver:
                         end_l: int):
         data = jnp.asarray(data)
         v = jnp.asarray(v)
+        self._check_data(data)
         batched = data.ndim == 2
+        self._check_rhs(v, batched)
         vec1d = v.ndim == (2 if batched else 1)
         if vec1d:
             v = v[..., None]

@@ -302,6 +302,26 @@ int bs_amd_order(i64 n, const i64* ptrs, const i64* inds, i64* perm_out) {
 }
 
 // ---------------------------------------------------------------------------
+// level schedule: level(l) = 1 + max level over the earlier columns that
+// update l (its row-boards' origins) — sequential loop-carried recurrence
+// the Python side can't vectorize.
+// ---------------------------------------------------------------------------
+int bs_level_schedule(i64 n, const i64* board_row_ptr,
+                      const i64* board_col_lump, i64 max_factor_lump,
+                      i64* levels_out) {
+  for (i64 l = 0; l < n; l++) {
+    i64 lv = 0;
+    for (i64 r = board_row_ptr[l]; r < board_row_ptr[l + 1]; r++) {
+      i64 o = board_col_lump[r];
+      if (o < l && o < max_factor_lump && levels_out[o] + 1 > lv)
+        lv = levels_out[o] + 1;
+    }
+    levels_out[l] = lv;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // greedy cost-model supernode merging (the hot loop of EliminationTree's
 // processTree; ~1e6 cost evaluations, dominated symbolic time in Python).
 // Mirrors elimination_tree.py::compute_merges exactly, including heap

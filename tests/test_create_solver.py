@@ -121,3 +121,22 @@ def test_level_reorder_option():
     # levels must be non-decreasing along the post-elim lump order
     lv = solver.plan.lump_levels[schur:]
     assert np.all(np.diff(lv) >= 0)
+
+
+def test_numeric_input_validation():
+    """Wrong-shaped inputs raise with clear messages (the reference guards
+    every numeric op with BASPACHO_CHECK*, DebugMacros.h)."""
+    import numpy as np
+    import pytest
+    from baspacho_tpu import Settings, create_solver
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    gen = SparseMatGenerator.gen_flat(10, 0.3, seed=1)
+    solver = create_solver(Settings(), np.full(10, 2), gen.to_structure())
+    data = random_spd_data(solver.data_size, solver.order, 1)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    with pytest.raises(ValueError, match="elements"):
+        solver.factor(data[:-1])
+    f = solver.factor(data)
+    with pytest.raises(ValueError, match="order"):
+        solver.solve(f, np.zeros(solver.order + 1))

@@ -124,3 +124,85 @@ def test_dense_update_run_crossing_diag_below_boundary():
     l_oracle = np.linalg.cholesky(dense)
     f = np.asarray(solver.factor(data))
     assert np.max(np.abs(np.tril(skel.densify(f)) - l_oracle)) < 1e-10
+
+
+def test_dense_outlier_routing():
+    """Dense-level origins with far-flung couplings (BA loop closures)
+    must route through the block-pair path while the rest stays in the
+    compact one-hot space — factor AND solve against dense oracles.
+    Uses AddFillPolicy.FOR_GIVEN_ELIMS (identity ordering) so the
+    window/closure locality structure is preserved deterministically."""
+    from baspacho_tpu import AddFillPolicy
+    from baspacho_tpu.ops.planned_backend import PlannedBackend
+    from baspacho_tpu.sparse_structure import SparseStructure
+    from baspacho_tpu.utils import cum_sum_vec
+
+    rng = np.random.RandomState(3)
+    n_cams, n_pts, w = 30, 300, 3
+    base = np.sort(rng.randint(0, n_cams - w, size=n_pts))
+    cols = {p: sorted({int(base[p] + k) for k in
+                       rng.choice(w, 2, replace=False)})
+            for p in range(n_pts)}
+    for p in rng.choice(n_pts, n_pts // 5, replace=False):  # closures
+        cols[p] = sorted(set(cols[p]) |
+                         {int(rng.randint(0, n_cams))})
+    # lower-half CSR rows: pt rows reference themselves; cam rows
+    # reference their points and themselves
+    n = n_pts + n_cams
+    row_cols = [[] for _ in range(n)]
+    for p, cs in cols.items():
+        row_cols[p].append(p)
+        for c in cs:
+            row_cols[n_pts + c].append(p)
+    for c in range(n_cams):
+        row_cols[n_pts + c].append(n_pts + c)
+    ptrs = cum_sum_vec([len(r) for r in row_cols])
+    inds = np.concatenate([sorted(r) for r in row_cols])
+    ss = SparseStructure(ptrs, inds)
+    sizes = np.array([3] * n_pts + [9] * n_cams)
+
+    old_floor = PlannedBackend.SUB_FLOOR
+    PlannedBackend.SUB_FLOOR = 16  # let the adaptive cap bite at this
+    #                                small scale
+    try:
+        solver = create_solver(
+            Settings(backend=BackendType.PLANNED,
+                     add_fill_policy=AddFillPolicy.FOR_GIVEN_ELIMS),
+            sizes, ss, sparse_elim_ranges=[0, n_pts])
+        sched = solver.backend._factor_schedule(
+            0, int(solver.skel.span_to_lump[solver.can_factor_up_to]))
+    finally:
+        PlannedBackend.SUB_FLOOR = old_floor
+    has_out = any(lev[3] is not None and lev[3]["outliers"]
+                  for lev in sched)
+    assert has_out, "no outliers triggered; test structure needs tuning"
+
+    data = random_spd_data(solver.data_size, solver.order, 9)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    t = solver.can_factor_up_to
+    o = solver.span_vector_offset(t)
+    part = np.asarray(solver.factor_up_to(data, t))
+    # partial-factor Schur oracle on the eliminated range
+    l11 = np.linalg.cholesky(dense[:o, :o])
+    l21 = dense[o:, :o] @ np.linalg.inv(l11).T
+    got_l11 = np.tril(solver.skel.densify(part)[:o, :o])
+    assert np.max(np.abs(got_l11 - l11)) < 1e-9
+    got_l21 = solver.skel.densify(part)[o:, :o]
+    assert np.max(np.abs(got_l21 - l21)) < 1e-8
+    schur_want = dense[o:, o:] - l21 @ l21.T
+    got_schur = solver.skel.densify(part, fill_upper_half=True)[o:, o:]
+    mask = np.abs(dense[o:, o:]) + np.abs(schur_want) > 0
+    assert np.max(np.abs((got_schur - schur_want) * mask)) < 1e-8
+
+    # fused-solve outlier path: L then Lt over the eliminated range must
+    # equal the composition of the (independently oracled) partial solves
+    import jax.numpy as jnp
+    k = int(solver.skel.span_to_lump[t])
+    fn, aux = solver.backend.make_solve(0, k)
+    rhs = rng.rand(solver.order, 2)
+    got = np.asarray(fn(jnp.asarray(part), jnp.asarray(rhs),
+                        tuple(jnp.asarray(a) for a in aux)))
+    want = np.asarray(solver.solve_lt_up_to(
+        part, t, solver.solve_l_up_to(part, t, rhs)))
+    assert np.max(np.abs(got - want)) < 1e-9
