@@ -197,8 +197,21 @@ class PlannedBackend:
             for bi, l in enumerate(lb.members):
                 origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
             prod_total += len(lb.off) * lb.rp * lb.rp
-        pair_buckets = self._build_pairs(lds, origin_pos)
 
+        if dense_info is not None:
+            # cheap LOWER bound on the pair path (unpadded block-pair
+            # elements) — when dense beats even that, skip enumerating
+            # pairs entirely (at BAL scale that enumeration costs minutes
+            # of host time and would be discarded)
+            below = np.fromiter((ld.total_rows - ld.size for ld in lds),
+                                dtype=np.int64, count=len(lds))
+            lower = (float((below * (below + 1) // 2).sum()) +
+                     prod_total) * self.ELEM_NS
+            if dense_info["cost"] < lower:
+                out_pb = self._build_outlier_meta(dense_info, lump_buckets)
+                return lump_buckets, out_pb, 0, dense_info
+
+        pair_buckets = self._build_pairs(lds, origin_pos)
         if dense_info is not None:
             pairs_elems = sum(
                 len(pb.rs) * pb.rsp * pb.csp for pb in pair_buckets)
@@ -278,16 +291,36 @@ class PlannedBackend:
         block-pair sparse elimination (MatOpsCuda.cu:309)."""
         sk = self.plan.skel
         span_size = sk.span_start[1:] - sk.span_start[:-1]
-        # touched target spans -> compact row space
-        touched = set()
-        for ld in lds:
-            o = ld.index
-            cs_, ce_ = int(sk.chain_col_ptr[o]), int(sk.chain_col_ptr[o + 1])
-            nd = int(sk.lump_to_span[o + 1] - sk.lump_to_span[o])
-            touched.update(sk.chain_row_span[cs_ + nd:ce_].tolist())
-        if not touched:
+
+        # per-bucket below-span expansions (vectorized: per-element host
+        # loops over 500k+ members cost minutes at BAL scale)
+        per_bucket = {}  # bi -> (sp, sz, rows_m, ptr_m)
+        for bi, lb in enumerate(lump_buckets):
+            if lb.rp == 0:
+                continue
+            lidx = np.asarray(lb.members, dtype=np.int64)
+            nd = sk.lump_to_span[lidx + 1] - sk.lump_to_span[lidx]
+            c0 = sk.chain_col_ptr[lidx] + nd
+            c1 = sk.chain_col_ptr[lidx + 1]
+            nch = c1 - c0
+            tot = int(nch.sum())
+            if tot == 0:
+                per_bucket[bi] = None
+                continue
+            ex = np.concatenate([[0], np.cumsum(nch)[:-1]])
+            ch = np.repeat(c0 - ex, nch) + np.arange(tot, dtype=np.int64)
+            sp = sk.chain_row_span[ch]
+            sz = span_size[sp]
+            member_of = np.repeat(np.arange(len(lidx)), nch)
+            rows_m = np.bincount(member_of, weights=sz,
+                                 minlength=len(lidx)).astype(np.int64)
+            ptr_m = np.concatenate([[0], np.cumsum(rows_m)])
+            per_bucket[bi] = (sp, sz, rows_m, ptr_m)
+
+        sp_all = [v[0] for v in per_bucket.values() if v is not None]
+        if not sp_all:
             return None
-        tspans = np.array(sorted(touched), dtype=np.int64)
+        tspans = np.unique(np.concatenate(sp_all))
         R0 = int(span_size[tspans].sum())
         if R0 > self.DENSE_MAX_ORDER:
             return None
@@ -297,16 +330,17 @@ class PlannedBackend:
         # window traffic saved). Cap from equating the two costs.
         gap_cap = min(512, int(1.3e5 / max(R0, 1)))
         if gap_cap > 0 and len(tspans) > 1:
-            gaps = tspans[1:] - tspans[:-1] - 1
-            fill = []
             csum = np.concatenate([[0], np.cumsum(span_size)])
-            for i in np.nonzero(gaps > 0)[0]:
-                a, b = int(tspans[i]) + 1, int(tspans[i + 1])
-                if csum[b] - csum[a] <= gap_cap:
-                    fill.extend(range(a, b))
-            if fill:
-                tspans = np.array(sorted(touched | set(fill)),
-                                  dtype=np.int64)
+            gsz = csum[tspans[1:]] - csum[tspans[:-1] + 1]
+            sel = (tspans[1:] - tspans[:-1] > 1) & (gsz <= gap_cap)
+            if np.any(sel):
+                a = tspans[:-1][sel] + 1
+                b = tspans[1:][sel]
+                n_f = b - a
+                exf = np.concatenate([[0], np.cumsum(n_f)[:-1]])
+                fill = np.repeat(a - exf, n_f) + \
+                    np.arange(int(n_f.sum()), dtype=np.int64)
+                tspans = np.unique(np.concatenate([tspans, fill]))
         tsizes = span_size[tspans]
         R = int(tsizes.sum())
         if R > self.DENSE_MAX_ORDER:
@@ -327,34 +361,49 @@ class PlannedBackend:
         # one-hot placement quadratically expensive. The cap adapts to
         # the level (median spread), so levels that are uniformly wide
         # (e.g. random-fill Schur sets) stay fully dense.
-        crs = {}
-        spreads = []
-        for bi, lb in enumerate(lump_buckets):
-            if lb.rp == 0:
+        cr_b = {}
+        spread_b = {}
+        all_spreads = []
+        for bi, pb_ in per_bucket.items():
+            if pb_ is None:
                 continue
-            for i, l in enumerate(lb.members):
-                g = self.plan.lumps[l].below_row_idx
-                s = np.searchsorted(sk.span_start, g, side="right") - 1
-                cr = compact_start[s] + (g - sk.span_start[s])
-                crs[(bi, i)] = cr
-                if len(cr):
-                    spreads.append(int(cr.max() - cr.min()))
-        med = float(np.median(spreads)) if spreads else 0.0
+            sp, sz, rows_m, ptr_m = pb_
+            tot_r = int(ptr_m[-1])
+            exr = np.concatenate([[0], np.cumsum(sz)[:-1]])
+            cr = np.repeat(compact_start[sp] - exr, sz) + \
+                np.arange(tot_r, dtype=np.int64)
+            cr_b[bi] = cr
+            ne = rows_m > 0
+            spread = np.zeros(len(rows_m), dtype=np.int64)
+            if np.any(ne):
+                st = ptr_m[:-1][ne]
+                spread[ne] = np.maximum.reduceat(cr, st) - \
+                    np.minimum.reduceat(cr, st)
+            spread_b[bi] = spread
+            all_spreads.append(spread[ne])
+        med = float(np.median(np.concatenate(all_spreads))) \
+            if all_spreads else 0.0
         out_cap = max(2 * self.SUB_FLOOR, 4 * _ceil_pow2(max(int(med), 1)))
         row_maps = []
         outliers = []  # (bucket index, position in bucket, lump id)
         for bi, lb in enumerate(lump_buckets):
-            if lb.rp == 0:
+            if lb.rp == 0 or per_bucket.get(bi) is None:
                 row_maps.append(None)
                 continue
-            rows_c = np.full((len(lb.off), lb.rp), R, dtype=np.int64)
-            for i, l in enumerate(lb.members):
-                cr = crs[(bi, i)]
-                if len(cr) and int(cr.max() - cr.min()) > out_cap:
-                    outliers.append((bi, i, l))
-                    continue
-                rows_c[i, :len(cr)] = cr
+            sp, sz, rows_m, ptr_m = per_bucket[bi]
+            B = len(lb.off)
+            is_out = spread_b[bi] > out_cap
+            rows_c = np.full((B, lb.rp), R, dtype=np.int64)
+            keep = ~is_out
+            tot_r = int(ptr_m[-1])
+            keep_row = np.repeat(keep, rows_m)
+            ii = np.repeat(np.arange(B), rows_m)[keep_row]
+            jj = (np.arange(tot_r, dtype=np.int64) -
+                  np.repeat(ptr_m[:-1], rows_m))[keep_row]
+            rows_c[ii, jj] = cr_b[bi][keep_row]
             row_maps.append(_i32(rows_c))
+            for i in np.nonzero(is_out)[0]:
+                outliers.append((bi, int(i), lb.members[int(i)]))
 
         # chunk groups: per bucket, consecutive member runs with total
         # width <= CHUNK_W; each chunk's compact sub-interval [lo, lo+subp)
@@ -401,7 +450,7 @@ class PlannedBackend:
             return None
 
         # per target lump: row runs x column runs over touched spans only
-        touched_lumps = sorted({int(sk.span_to_lump[s]) for s in touched})
+        touched_lumps = np.unique(sk.span_to_lump[tspans]).tolist()
         slices = []  # (panel_off, rows, stride, c0, wc, gr0, gc0) compact
 
         def runs(spans, keep):

@@ -458,6 +458,57 @@ def _level_shape_reorder(span_sizes, lump_to_span, col_start, row_param,
     return order, span_old_to_new
 
 
+def _bottom_permutation(settings: "Settings", ss: SparseStructure,
+                        ss_bottom: SparseStructure, given_elim_end: int,
+                        n_params: int) -> np.ndarray:
+    """Ordering of the bottom (post-given-elim) system.
+
+    Default is AMD (reference behavior, Solver.cpp:659). But when a given
+    sparse elimination range dwarfs the bottom system AND its columns are
+    LOCAL in user order (each eliminated block touches a narrow band of
+    bottom rows — BA landmarks seeing a camera-trajectory window), AMD
+    would scramble that band structure and with it the chunk locality the
+    planned backend's dense updates depend on; reverse Cuthill-McKee
+    preserves it at a modest fill cost on the (comparatively tiny) bottom
+    factor. The within-range member sort + outlier routing downstream
+    complete the picture.
+    """
+    if settings.backend == BackendType.PLANNED and given_elim_end > 0 \
+            and given_elim_end >= 4 * ss_bottom.order:
+        # median user-order spread of the elim columns' bottom rows
+        rows = ss.expanded_rows()
+        cols = ss.inds
+        sel = (cols < given_elim_end) & (rows >= given_elim_end)
+        if np.any(sel):
+            r = rows[sel] - given_elim_end
+            c = cols[sel]
+            o = np.argsort(c, kind="stable")
+            r, c = r[o], c[o]
+            uniq, start_idx = np.unique(c, return_index=True)
+            mx = np.maximum.reduceat(r, start_idx)
+            mn = np.minimum.reduceat(r, start_idx)
+            med = float(np.median(mx - mn)) if len(uniq) else 0.0
+            if med <= ss_bottom.order / 8:
+                # keep locality: the user's order already has it (that is
+                # what the median-spread test established), so identity is
+                # the natural candidate; RCM can beat it when the user
+                # order is banded-but-sloppy. Pick by measured bandwidth.
+                nb = ss_bottom.order
+                er = ss_bottom.expanded_rows()
+                ec = ss_bottom.inds
+
+                def p90_bw(perm):
+                    inv = np.empty(nb, np.int64)
+                    inv[perm] = np.arange(nb)
+                    return float(np.percentile(np.abs(inv[er] - inv[ec]),
+                                               90)) if len(er) else 0.0
+
+                ident = np.arange(nb, dtype=np.int64)
+                rcm = ss_bottom.rcm_permutation()
+                return ident if p90_bw(ident) <= p90_bw(rcm) else rcm
+    return ss_bottom.fill_reducing_permutation()
+
+
 def _pad_fn_for(settings: "Settings"):
     """Padded bucket storage for the planned (TPU) backend; the reference
     backend keeps the packed layout."""
@@ -502,7 +553,8 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
                       settings.backend, cfut)
 
     ss_bottom = ss.extract_right_bottom(given_elim_end)
-    perm = ss_bottom.fill_reducing_permutation()
+    perm = _bottom_permutation(settings, ss, ss_bottom, given_elim_end,
+                               len(param_sizes))
     no_cross_points = []
     if elim_last:
         parts = ([], [])
@@ -530,6 +582,29 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     full_inv_perm = np.concatenate([
         np.arange(given_elim_end, dtype=np.int64),
         given_elim_end + et_total_inv_perm])
+
+    # Order each given sparse-elim range by its members' connected rows'
+    # positions in the FINAL ordering (any order within an independent
+    # range is a valid elimination order with identical fill). This keeps
+    # same-neighborhood members adjacent even after AMD reorders the
+    # bottom system — the locality the planned backend's chunked dense
+    # updates exploit (BA: landmarks sorted by camera; the reference's
+    # CPU/GPU sparse elimination is insensitive to this, ours is not).
+    if sparse_elim_ranges:
+        sst_cols = ss.transpose()  # lower-half columns: rows >= col
+        col_of = np.repeat(np.arange(len(param_sizes), dtype=np.int64),
+                           sst_cols.ptrs[1:] - sst_cols.ptrs[:-1])
+        for e in range(len(sparse_elim_ranges) - 1):
+            a, b = sparse_elim_ranges[e], sparse_elim_ranges[e + 1]
+            sel = (col_of >= a) & (col_of < b) & (sst_cols.inds > col_of)
+            cols = col_of[sel] - a
+            vals = full_inv_perm[sst_cols.inds[sel]]
+            keys = np.full(b - a, np.int64(1) << 60)
+            if len(cols):
+                uniq, start_idx = np.unique(cols, return_index=True)
+                keys[uniq] = np.minimum.reduceat(vals, start_idx)
+            order = np.argsort(keys, kind="stable")
+            full_inv_perm[a:b] = a + inverse_permutation(order)
 
     full_span_start = np.zeros(len(param_sizes), dtype=np.int64)
     full_span_start[full_inv_perm] = param_sizes

@@ -219,6 +219,54 @@ class SparseStructure:
             return fast
         return minimum_degree_ordering(self.ptrs, self.inds)
 
+    def rcm_permutation(self) -> np.ndarray:
+        """Reverse Cuthill-McKee ordering of the symmetrized block graph:
+        bandwidth-minimizing and LOCALITY-PRESERVING — graph neighbors
+        stay adjacent in index space. Used for the bottom system when a
+        given sparse elimination range's columns have locality worth
+        keeping (see create_solver); AMD would scramble it.
+
+        Returns perm with perm[i] = old index moving to position i.
+        """
+        n = self.order
+        rows = self.expanded_rows()
+        cols = self.inds
+        offd = rows != cols
+        r = np.concatenate([rows[offd], cols[offd]])
+        c = np.concatenate([cols[offd], rows[offd]])
+        order_idx = np.argsort(r, kind="stable")
+        r, c = r[order_idx], c[order_idx]
+        deg = np.bincount(r, minlength=n)
+        adj_ptr = cum_sum_vec(deg)
+        perm = np.empty(n, dtype=np.int64)
+        visited = np.zeros(n, dtype=bool)
+        out = 0
+        # process components: BFS from a minimal-degree unvisited node,
+        # queueing each level's neighbors by increasing degree
+        deg_order = np.argsort(deg, kind="stable")
+        seed_pos = 0
+        while out < n:
+            while visited[deg_order[seed_pos]]:
+                seed_pos += 1
+            start = int(deg_order[seed_pos])
+            visited[start] = True
+            frontier = [start]
+            while frontier:
+                perm[out:out + len(frontier)] = frontier
+                out += len(frontier)
+                nxt = []
+                for v in frontier:
+                    nb = c[adj_ptr[v]:adj_ptr[v + 1]]
+                    nb = nb[~visited[nb]]
+                    if len(nb):
+                        nb = np.unique(nb)
+                        nb = nb[~visited[nb]]
+                        nb = nb[np.argsort(deg[nb], kind="stable")]
+                        visited[nb] = True
+                        nxt.extend(nb.tolist())
+                frontier = nxt
+        return perm[::-1].copy()
+
     def extract_right_bottom(self, start: int) -> "SparseStructure":
         """Sub-structure of rows/cols >= start, reindexed from 0."""
         ord_ = self.order

@@ -14,9 +14,10 @@ problem family (RTX-5000 numbers from the reference's shipped results;
 detail lines go to stderr.
 
 Usage:
-  python bench.py                 # default: flat1000 factor
-  python bench.py --problem flat1000|flat_schur|grid|batch
-  python bench.py --dtype f32|bf16
+  python bench.py                         # default: flat1000 factor
+  python bench.py --problem flat1000|flat_schur|grid|meri|batch|bal|bal_full
+  python bench.py --select 'flat|grid'    # run all matching synthetics
+  python bench.py --dtype f32|f64 --solve-rhs 5 --csv ops.csv
 """
 
 import argparse
