@@ -59,6 +59,12 @@ class Settings:
     # which fragments the consecutive-span runs that make the assembly's
     # window scatters coarse — a net loss except on very deep trees.
     level_reorder: bool = False
+    # MXU matmul precision for all numeric ops. "highest" (6-pass bf16 =
+    # full f32) honors the reference's float accuracy contract; "high"
+    # (3-pass) roughly halves MXU-bound factor time at ~1 decimal digit
+    # of factorization accuracy — pair with solve_refined when the
+    # tighter contract matters.
+    matmul_precision: str = "highest"
 
 
 class Solver:
@@ -66,8 +72,10 @@ class Solver:
                  sparse_elim_ranges: Sequence[int],
                  permutation: np.ndarray,
                  backend: BackendType = BackendType.REF,
-                 can_factor_up_to: int = -1):
+                 can_factor_up_to: int = -1,
+                 matmul_precision: str = "highest"):
         self.skel = skel
+        self.matmul_precision = matmul_precision
         self.sparse_elim_ranges = list(sparse_elim_ranges)
         self.permutation = np.asarray(permutation, dtype=np.int64)
         self.can_factor_up_to = (skel.num_spans if can_factor_up_to < 0
@@ -172,7 +180,8 @@ class Solver:
             aux = tuple(jnp.asarray(a) for a in aux)
             if vmap_axes is not None:
                 fn = jax.vmap(fn, in_axes=(*vmap_axes, None))
-            entry = (jax.jit(with_matmul_precision(fn)), aux)
+            entry = (jax.jit(with_matmul_precision(
+                fn, self.matmul_precision)), aux)
             self._fns[key] = entry
         return entry
 
@@ -550,7 +559,8 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
         cfut = 0 if settings.add_fill_policy == AddFillPolicy.NONE \
             else given_elim_end
         return Solver(skel, sparse_elim_ranges, permutation,
-                      settings.backend, cfut)
+                      settings.backend, cfut,
+                      matmul_precision=settings.matmul_precision)
 
     ss_bottom = ss.extract_right_bottom(given_elim_end)
     perm = _bottom_permutation(settings, ss, ss_bottom, given_elim_end,
@@ -672,4 +682,5 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     cfut = (full_elim_end
             if settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS
             else len(param_sizes))
-    return Solver(skel, full_ranges, full_inv_perm, settings.backend, cfut)
+    return Solver(skel, full_ranges, full_inv_perm, settings.backend, cfut,
+                  matmul_precision=settings.matmul_precision)

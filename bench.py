@@ -110,6 +110,9 @@ def main():
     ap.add_argument("--bal-cams", type=int, default=871)
     ap.add_argument("--bal-pts", type=int, default=527480)
     ap.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="MXU matmul precision for numeric ops")
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--select", default=None,
                     help="regex over synthetic problem names; all matches "
@@ -331,7 +334,8 @@ def _run_synthetic(name, make, args, dtype):
     gen, psize, elim, ref_cuda_s, metric = make()
     ss = gen.to_structure()
     t0 = time.perf_counter()
-    solver = create_solver(Settings(backend=BackendType.PLANNED),
+    solver = create_solver(Settings(backend=BackendType.PLANNED,
+                                    matmul_precision=args.precision),
                            psize, ss, sparse_elim_ranges=elim)
     log(f"[{name}] symbolic analysis: {time.perf_counter() - t0:.2f}s  "
         f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
