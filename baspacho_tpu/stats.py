@@ -195,8 +195,15 @@ def fit_computation_model(records: List[Tuple]) -> ComputationModel:
         groups[op].append((a, b, c, t))
 
     def wlsq(X, t):
+        """1/sqrt(t)-weighted NON-NEGATIVE least squares: the polynomial
+        op models are physically nonnegative in every coefficient, and
+        unconstrained fits on few/noisy samples produce negative constants
+        that break the merge heuristic (reference fits with LM +
+        eigendecomposition-guarded steps, OptimizeCompModel.cpp:64-295;
+        NNLS is the simpler guarantee)."""
+        from scipy.optimize import nnls
         w = 1.0 / np.sqrt(np.maximum(t, 1e-9))
-        sol, *_ = np.linalg.lstsq(X * w[:, None], t * w, rcond=None)
+        sol, _ = nnls(X * w[:, None], t * w)
         return sol
 
     out = {}
