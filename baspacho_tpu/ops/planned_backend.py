@@ -228,6 +228,45 @@ class PlannedBackend:
         return lump_buckets, pair_buckets, prod_total, None
 
     OUTLIER_SPREAD = 512   # floor for the adaptive per-level outlier cap
+    CHUNK_STEP_US = 10e-6   # modeled lax.scan chunk-step overhead
+    OH_GEN_NS = 0.1e-9      # modeled one-hot generation cost per element
+    #                         (fused compare+convert feeding the MXU;
+    #                         calibrated against measured flat_schur and
+    #                         BAL dense-level times)
+
+    def _pick_chunk_width(self, minmax, lb, R):
+        """Adaptive chunk width for the dense-update accumulation.
+
+        The chunk GEMM costs ~2*subp^2*nb*cp flops where subp is the
+        chunk's compact-row extent: with row locality subp is ~constant,
+        so bigger chunks amortize scan-step overhead; without locality
+        subp saturates at R and SMALL chunks win quadratically (a 50k x
+        random-fill Schur set measured 12x faster at nb=8 vs nb=512).
+        Sweep power-of-two widths and minimize the modeled cost —
+        vectorized over chunks via reduceat on per-member extents."""
+        mn_m, mx_m = minmax
+        B = len(mn_m)
+        cp, rp = lb.cp, lb.rp
+        best, best_per = None, max(1, self.CHUNK_W // cp)
+        per = 4
+        while per <= max(4, self.CHUNK_W // cp):
+            b0s = np.arange(0, B, per)
+            mn_c = np.minimum.reduceat(mn_m, b0s)
+            mx_c = np.maximum.reduceat(mx_m, b0s)
+            valid = mx_c >= 0
+            ext = np.maximum(mx_c - mn_c + 1, self.SUB_FLOOR)
+            subp = np.minimum(_pad_pow2(np.maximum(ext, 1), 1), R)
+            subp = subp[valid].astype(np.float64)
+            nv = int(valid.sum())
+            flops = float((2 * subp * subp * per * cp +
+                           2 * per * rp * subp * cp).sum())
+            oh = float((per * rp * subp).sum())
+            cost = nv * self.CHUNK_STEP_US + flops / self.MXU_FLOPS + \
+                oh * self.OH_GEN_NS
+            if best is None or cost < best:
+                best, best_per = cost, per
+            per *= 2
+        return best_per
 
     def _build_outlier_meta(self, dense, lump_buckets):
         """Plan the scatter path for dense-level outlier origins: a
@@ -386,6 +425,7 @@ class PlannedBackend:
         out_cap = max(2 * self.SUB_FLOOR, 4 * _ceil_pow2(max(int(med), 1)))
         row_maps = []
         outliers = []  # (bucket index, position in bucket, lump id)
+        minmax_b = {}
         for bi, lb in enumerate(lump_buckets):
             if lb.rp == 0 or per_bucket.get(bi) is None:
                 row_maps.append(None)
@@ -404,6 +444,18 @@ class PlannedBackend:
             row_maps.append(_i32(rows_c))
             for i in np.nonzero(is_out)[0]:
                 outliers.append((bi, int(i), lb.members[int(i)]))
+            # per-member compact-row extents (outliers masked) feed the
+            # adaptive chunk-width choice below
+            mn_m = np.full(B, R, dtype=np.int64)
+            mx_m = np.full(B, -1, dtype=np.int64)
+            ne = rows_m > 0
+            if np.any(ne):
+                st_ = ptr_m[:-1][ne]
+                mn_m[ne] = np.minimum.reduceat(cr_b[bi], st_)
+                mx_m[ne] = np.maximum.reduceat(cr_b[bi], st_)
+            mn_m[is_out] = R
+            mx_m[is_out] = -1
+            minmax_b[bi] = (mn_m, mx_m)
 
         # chunk groups: per bucket, consecutive member runs with total
         # width <= CHUNK_W; each chunk's compact sub-interval [lo, lo+subp)
@@ -414,11 +466,13 @@ class PlannedBackend:
         groups: Dict[Tuple[int, int, int], list] = {}
         pad_b = {}
         total_flops = 0
+        total_oh = 0
+        n_chunks = 0
         for bi, lb in enumerate(lump_buckets):
-            if lb.rp == 0:
+            if lb.rp == 0 or per_bucket.get(bi) is None:
                 continue
             B = len(lb.off)
-            per = max(1, self.CHUNK_W // lb.cp)
+            per = self._pick_chunk_width(minmax_b[bi], lb, R)
             rc = row_maps[bi]
 
             def sub_of(b0, b1):
@@ -446,6 +500,8 @@ class PlannedBackend:
                 pad_b[bi] = max(pad_b.get(bi, B), b0 + nb)
                 total_flops += 2 * subp * subp * nb * lb.cp + \
                     2 * nb * lb.rp * subp * lb.cp
+                total_oh += nb * lb.rp * subp
+                n_chunks += 1
         if not groups:
             return None
 
@@ -516,8 +572,10 @@ class PlannedBackend:
             i = j + 1
 
         slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
+        chunk_cost = n_chunks * self.CHUNK_STEP_US + \
+            total_oh * self.OH_GEN_NS
         if len(slices) <= self.UNROLL_SLICES:
-            cost = total_flops / self.MXU_FLOPS + \
+            cost = total_flops / self.MXU_FLOPS + chunk_cost + \
                 len(slices) * 3 * self.OP_US + \
                 (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
             return {"R": R, "groups": groups, "row_maps": row_maps,
@@ -545,7 +603,7 @@ class PlannedBackend:
             slice_scans.append((rsp, st, _i32(np.array(items))))
             pr = max(pr, rsp)
             lc = max(lc, st)
-        cost = total_flops / self.MXU_FLOPS + \
+        cost = total_flops / self.MXU_FLOPS + chunk_cost + \
             len(slices) * self.SCAN_SLICE_US + \
             len(slice_scans) * self.OP_US + \
             (R * R + 2 * pad_elems) * 4 / 8e11
