@@ -185,3 +185,16 @@ def test_check_factor_detects_indefinite():
     assert solver.check_factor(good)
     bad = solver.factor(solver.skel.damp(data, 0.0, -1e6))  # indefinite
     assert not solver.check_factor(bad)
+
+
+@pytest.mark.parametrize("prec", ["highest", "high"])
+def test_factor_matmul_precision(prec):
+    """The matmul_precision setting must produce valid factorizations at
+    both supported levels (on CPU the levels coincide numerically; the
+    knob's routing is what's exercised)."""
+    gen = SparseMatGenerator.gen_flat(16, 0.3, seed=11)
+    ss = gen.to_structure()
+    solver = create_solver(
+        Settings(backend=BackendType.PLANNED, matmul_precision=prec),
+        np.full(16, 3), ss)
+    factor_oracle_check(solver, 0, tol=1e-9)
