@@ -81,19 +81,49 @@ class SpanDesc:
 
 @dataclass
 class NumericPlan:
+    """Per-lump geometry as flat arrays (at BAL scale — 500k+ lumps —
+    per-lump Python objects cost tens of seconds to build and iterate;
+    the planned backend consumes these arrays directly). The `lumps`
+    LumpDesc view is materialized lazily for the unrolled ref backend."""
     skel: CoalescedBlockMatrixSkel
     sparse_elim_ranges: List[int]
-    lumps: List[LumpDesc]
     lump_levels: np.ndarray  # (num_lumps,) level-schedule depth of each lump
+    lump_col_offset: np.ndarray   # (L,) panel flat-data offsets
+    lump_total_rows: np.ndarray   # (L,) diag + below logical rows
+    lump_sizes: np.ndarray        # (L,) widths
+    lump_strides: np.ndarray      # (L,) padded widths (panel row stride)
+    lump_prp: np.ndarray          # (L,) padded below-row counts
+    lump_vec_offset: np.ndarray   # (L,) RHS positions
+    below_rows_flat: np.ndarray   # concatenated below-row RHS indices
+    below_row_ptr: np.ndarray     # (L+1,) extents into below_rows_flat
     max_factor_lump: int = -1
     boards_built: bool = False
     _spans: Optional[List[SpanDesc]] = None
+    _lumps: Optional[List[LumpDesc]] = None
 
     @property
     def spans(self) -> List[SpanDesc]:
         if self._spans is None:
             self._spans = _build_spans(self.skel)
         return self._spans
+
+    @property
+    def lumps(self) -> List[LumpDesc]:
+        if self._lumps is None:
+            co = self.lump_col_offset.tolist()
+            tr = self.lump_total_rows.tolist()
+            sz = self.lump_sizes.tolist()
+            st = self.lump_strides.tolist()
+            pb = self.lump_prp.tolist()
+            vo = self.lump_vec_offset.tolist()
+            rp = self.below_row_ptr.tolist()
+            self._lumps = [
+                LumpDesc(index=l, col_offset=co[l], total_rows=tr[l],
+                         size=sz[l], stride=st[l], prp=pb[l],
+                         vec_offset=vo[l],
+                         below_row_idx=self.below_rows_flat[rp[l]:rp[l + 1]])
+                for l in range(len(co))]
+        return self._lumps
 
 
 def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
@@ -138,25 +168,9 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
                                   minlength=num_lumps).astype(np.int64)
     lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
 
-    # plain-list iteration: at BAL scale (500k+ lumps) per-element numpy
-    # indexing with int() casts costs seconds; .tolist() once is ~10x
-    co_l = sk.panel_base[:num_lumps].tolist()
-    tr_l = total_rows_arr.tolist()
-    sz_l = lump_size_arr.tolist()
-    st_l = sk.col_stride.tolist()
-    pb_l = sk.padded_below.tolist()
-    vo_l = sk.lump_start[:num_lumps].tolist()
-    rp_l = lump_row_ptr.tolist()
-    lumps: List[LumpDesc] = [
-        LumpDesc(index=l, col_offset=co_l[l], total_rows=tr_l[l],
-                 size=sz_l[l], stride=st_l[l], prp=pb_l[l],
-                 vec_offset=vo_l[l],
-                 below_row_idx=global_rows[rp_l[l]:rp_l[l + 1]])
-        for l in range(num_lumps)]
-
-    # per-span descriptors (for pseudo-factor) are built lazily — only
-    # the Gauss-Seidel preconditioner setup needs them, and at BAL scale
-    # 500k+ Python objects cost seconds (see ensure_spans)
+    # per-span/per-lump descriptor OBJECTS are built lazily — only the
+    # ref backend and pseudo-factor need them, and at BAL scale 500k+
+    # Python objects cost tens of seconds (see NumericPlan.lumps/spans)
 
     # level schedule: level(l) = 1 + max(level of columns updating l);
     # the updating columns of l are its row-boards' origin lumps
@@ -175,7 +189,15 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
                 levels[l] = int(levels[origins].max()) + 1
 
     return NumericPlan(skel=sk, sparse_elim_ranges=list(sparse_elim_ranges),
-                       lumps=lumps, lump_levels=levels,
+                       lump_levels=levels,
+                       lump_col_offset=sk.panel_base[:num_lumps],
+                       lump_total_rows=total_rows_arr,
+                       lump_sizes=lump_size_arr,
+                       lump_strides=sk.col_stride,
+                       lump_prp=sk.padded_below,
+                       lump_vec_offset=sk.lump_start[:num_lumps],
+                       below_rows_flat=global_rows,
+                       below_row_ptr=lump_row_ptr,
                        max_factor_lump=max_factor_lump)
 
 

@@ -103,16 +103,13 @@ class LumpBucket:
 
 @dataclass
 class PairBucket:
-    """Run-coalesced update blocks of one level with the same padded row
-    count and target panel stride. Each entry subtracts a (rs x cs) block
-    of the level product buffer into a contiguous-rows region of a target
-    panel: rows are maximal runs of consecutive spans (consecutive spans
-    are adjacent chains in the target column, hence contiguous memory in
-    the padded layout), so the scatter is one (rsp x stride) contiguous
-    window per block — microseconds per window on TPU instead of
-    nanoseconds per element."""
+    """Run-coalesced update blocks of one level with the same padded
+    (rsp x csp) shape. Each entry subtracts a (rs x cs) block of the level
+    product buffer into a contiguous-rows region of a target panel via an
+    elementwise block scatter-add; rows are maximal runs of consecutive
+    spans (adjacent chains in the target column, hence contiguous memory
+    in the padded layout)."""
     rsp: int                # padded run rows
-    stride: int             # target panel stride (window buckets only)
     src_base: np.ndarray    # (P,) flat offset of block in product buffer
     src_stride: np.ndarray  # (P,) product row stride (rp of origin bucket)
     rs: np.ndarray          # (P,) actual rows
@@ -120,12 +117,10 @@ class PairBucket:
     c0: np.ndarray          # (P,) column offset inside the target panel
     tgt_row_start: np.ndarray  # (P,) flat offset of the block's first row
     #                            at column 0 of the target panel
-    tgt_stride: np.ndarray = None  # (P,) per-pair stride (element buckets)
-    kind: str = "window"    # "window" (contiguous whole-row chunks) or
-    #                         "element" (block scatter, mixed strides)
-    csp: int = 0
-    exact: bool = False     # element group with rsp == rs, csp == cs for
-    #                         every pair: no padding, no mask, no clip
+    tgt_stride: np.ndarray = None  # (P,) per-pair target panel stride
+    csp: int = 0            # padded run cols
+    exact: bool = False     # group with rsp == rs, csp == cs for every
+    #                         pair: no padding, no mask, no clip
 
 
 class PlannedBackend:
@@ -147,12 +142,16 @@ class PlannedBackend:
     # ------------------------------------------------------------------
     # schedule construction (host, cached per lump range)
     # ------------------------------------------------------------------
-    def _by_level(self, start: int, end: int) -> List[list]:
-        levels: Dict[int, list] = {}
-        for l in range(start, end):
-            levels.setdefault(int(self.plan.lump_levels[l]),
-                              []).append(self.plan.lumps[l])
-        return [levels[v] for v in sorted(levels.keys())]
+    def _by_level(self, start: int, end: int) -> List[np.ndarray]:
+        """Lump ids of [start, end) grouped by schedule level (ascending),
+        preserving id order within a level."""
+        lv = np.asarray(self.plan.lump_levels[start:end])
+        ids = np.arange(start, end, dtype=np.int64)
+        order = np.argsort(lv, kind="stable")
+        lv_s, ids_s = lv[order], ids[order]
+        brk = (np.nonzero(np.diff(lv_s))[0] + 1).tolist()
+        bounds = [0, *brk, len(ids_s)]
+        return [ids_s[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
 
     def _factor_schedule(self, start: int, end: int):
         key = (start, end)
@@ -178,12 +177,16 @@ class PlannedBackend:
     OP_US = 2e-6
 
     def _build_level(self, lds, with_below_idx=False):
-        """Bucket the level's lumps; assign product-buffer offsets to
-        buckets with below rows; enumerate assembly block pairs (or mark
-        the level for the dense compact-U update path). The two assembly
-        mechanisms are costed against each other per level."""
+        """Bucket the level's lumps (`lds` is an array of lump ids);
+        assign product-buffer offsets to buckets with below rows;
+        enumerate assembly block pairs (or mark the level for the dense
+        compact-U update path). The two assembly mechanisms are costed
+        against each other per level."""
+        plan = self.plan
+        lds = np.asarray(lds, dtype=np.int64)
+        below_all = plan.lump_total_rows[lds] - plan.lump_sizes[lds]
         lump_buckets = self._bucket_lumps(lds, with_below_idx)
-        n_origins = sum(1 for ld in lds if ld.total_rows > ld.size)
+        n_origins = int(np.count_nonzero(below_all > 0))
         dense_info = None
         if n_origins >= self.DENSE_MIN_ORIGINS:
             dense_info = self._build_dense_update(lds, lump_buckets)
@@ -194,25 +197,32 @@ class PlannedBackend:
             if lb.rp == 0:
                 continue
             lb.prod_base = prod_total
-            for bi, l in enumerate(lb.members):
+            for bi, l in enumerate(lb.members.tolist()):
                 origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
             prod_total += len(lb.off) * lb.rp * lb.rp
 
-        if dense_info is not None:
+        import os
+        debug = os.environ.get("BASPACHO_PLAN_DEBUG")
+        force = os.environ.get("BASPACHO_FORCE_ASSEMBLY")  # dense|pairs
+
+        if dense_info is not None and force != "pairs":
             # cheap LOWER bound on the pair path (unpadded block-pair
             # elements) — when dense beats even that, skip enumerating
             # pairs entirely (at BAL scale that enumeration costs minutes
             # of host time and would be discarded)
-            below = np.fromiter((ld.total_rows - ld.size for ld in lds),
-                                dtype=np.int64, count=len(lds))
-            lower = (float((below * (below + 1) // 2).sum()) +
+            lower = (float((below_all * (below_all + 1) // 2).sum()) +
                      prod_total) * self.ELEM_NS
-            if dense_info["cost"] < lower:
+            if dense_info["cost"] < lower or force == "dense":
+                if debug:
+                    print(f"[plan] level({len(lds)} lumps): DENSE "
+                          f"cost={dense_info['cost']*1e3:.3f}ms "
+                          f"pairs_lower={lower*1e3:.3f}ms "
+                          f"R={dense_info['R']}", flush=True)
                 out_pb = self._build_outlier_meta(dense_info, lump_buckets)
                 return lump_buckets, out_pb, 0, dense_info
 
         pair_buckets = self._build_pairs(lds, origin_pos)
-        if dense_info is not None:
+        if dense_info is not None and force != "pairs":
             pairs_elems = sum(
                 len(pb.rs) * pb.rsp * pb.csp for pb in pair_buckets)
             prod_flops = sum(len(lb.off) * lb.rp * lb.rp * lb.cp
@@ -220,11 +230,24 @@ class PlannedBackend:
             pairs_cost = (pairs_elems + prod_total) * self.ELEM_NS + \
                 prod_flops / self.MXU_FLOPS + \
                 len(pair_buckets) * self.OP_US
+            if debug:
+                print(f"[plan] level({len(lds)} lumps): "
+                      f"dense={dense_info['cost']*1e3:.3f}ms "
+                      f"pairs={pairs_cost*1e3:.3f}ms "
+                      f"R={dense_info['R']} -> "
+                      f"{'DENSE' if dense_info['cost'] < pairs_cost else 'PAIRS'}",
+                      flush=True)
             if dense_info["cost"] < pairs_cost:
                 # wide-spread "outlier" origins bypass the dense compact
                 # space; their updates run as block-pair scatters
                 out_pb = self._build_outlier_meta(dense_info, lump_buckets)
                 return lump_buckets, out_pb, 0, dense_info
+        elif debug:
+            pairs_elems = sum(
+                len(pb.rs) * pb.rsp * pb.csp for pb in pair_buckets)
+            print(f"[plan] level({len(lds)} lumps): PAIRS "
+                  f"(dense={'n/a' if dense_info is None else 'forced off'}) "
+                  f"elems={pairs_elems}", flush=True)
         return lump_buckets, pair_buckets, prod_total, None
 
     OUTLIER_SPREAD = 512   # floor for the adaptive per-level outlier cap
@@ -278,7 +301,9 @@ class PlannedBackend:
         dense["out_groups"] = []
         if not outliers:
             return []
-        order = self.plan.skel.order
+        plan = self.plan
+        order = plan.skel.order
+        ptr, flat = plan.below_row_ptr, plan.below_rows_flat
         origin_pos = {}
         total = 0
         by_bucket: Dict[int, list] = {}
@@ -292,10 +317,11 @@ class PlannedBackend:
             rp = lump_buckets[bi].rp
             bidx = np.full((len(idxs), rp), order, dtype=np.int32)
             for j, i in enumerate(idxs):
-                g = self.plan.lumps[lump_buckets[bi].members[i]]
-                bidx[j, :len(g.below_row_idx)] = g.below_row_idx
+                m = int(lump_buckets[bi].members[i])
+                n = int(ptr[m + 1] - ptr[m])
+                bidx[j, :n] = flat[ptr[m]:ptr[m + 1]]
             dense["out_groups"].append((bi, _i32(np.array(idxs)), bidx))
-        lds = [self.plan.lumps[l] for _, _, l in outliers]
+        lds = np.array([l for _, _, l in outliers], dtype=np.int64)
         return self._build_pairs(lds, origin_pos)
 
     CHUNK_W = 2048       # max W width per accumulation chunk
@@ -443,7 +469,7 @@ class PlannedBackend:
             rows_c[ii, jj] = cr_b[bi][keep_row]
             row_maps.append(_i32(rows_c))
             for i in np.nonzero(is_out)[0]:
-                outliers.append((bi, int(i), lb.members[int(i)]))
+                outliers.append((bi, int(i), int(lb.members[int(i)])))
             # per-member compact-row extents (outliers masked) feed the
             # adaptive chunk-width choice below
             mn_m = np.full(B, R, dtype=np.int64)
@@ -613,29 +639,48 @@ class PlannedBackend:
                 "outliers": outliers, "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
-        order = self.plan.skel.order
-        groups: Dict[Tuple[int, int], list] = {}
-        for ld in lds:
-            groups.setdefault((ld.prp, ld.stride), []).append(ld)
+        """Group the lump ids by padded panel shape (fully vectorized —
+        at BAL scale a level holds 500k+ lumps)."""
+        plan = self.plan
+        order = plan.skel.order
+        lds = np.asarray(lds, dtype=np.int64)
+        prp_a = plan.lump_prp[lds]
+        cp_a = plan.lump_strides[lds]
+        co_a = plan.lump_col_offset[lds]
+        sort_idx = np.lexsort((co_a, cp_a, prp_a))
+        g_all = lds[sort_idx]
+        prp_s, cp_s, co_s = prp_a[sort_idx], cp_a[sort_idx], co_a[sort_idx]
+        brk = (np.nonzero((prp_s[1:] != prp_s[:-1]) |
+                          (cp_s[1:] != cp_s[:-1]))[0] + 1).tolist()
+        bounds = [0, *brk, len(g_all)]
+        ptr = plan.below_row_ptr
+        flat = plan.below_rows_flat
         out = []
-        for (rp, cp), g in sorted(groups.items()):
-            g = sorted(g, key=lambda x: x.col_offset)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            g = g_all[a:b]
+            rp, cp = int(prp_s[a]), int(cp_s[a])
             bidx = None
             if with_below_idx:
-                bidx = np.full((len(g), max(rp, 1)), order, dtype=np.int64)
-                for i, x in enumerate(g):
-                    bidx[i, :len(x.below_row_idx)] = x.below_row_idx
-                bidx = _i32(bidx)
-            offs = np.array([x.col_offset for x in g], dtype=np.int64)
+                bidx = np.full((len(g), max(rp, 1)), order, dtype=np.int32)
+                cnt = ptr[g + 1] - ptr[g]
+                tot = int(cnt.sum())
+                if tot:
+                    ii = np.repeat(np.arange(len(g)), cnt)
+                    ex = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                    jj = np.arange(tot, dtype=np.int64) - np.repeat(ex, cnt)
+                    src = np.repeat(ptr[g] - ex, cnt) + \
+                        np.arange(tot, dtype=np.int64)
+                    bidx[ii, jj] = flat[src]
+            offs = co_s[a:b]
             panel = (rp + cp) * cp
             contiguous = bool(np.all(np.diff(offs) == panel))
             lb = LumpBucket(
                 rp=rp, cp=cp, off=_i32(offs),
-                rows=_i32([x.total_rows - x.size for x in g]),
-                cols=_i32([x.size for x in g]),
-                vec_off=_i32([x.vec_offset for x in g]),
+                rows=_i32(plan.lump_total_rows[g] - plan.lump_sizes[g]),
+                cols=_i32(plan.lump_sizes[g]),
+                vec_off=_i32(plan.lump_vec_offset[g]),
                 below_idx=bidx, contiguous=contiguous)
-            lb.members = [x.index for x in g]
+            lb.members = g
             out.append(lb)
         return out
 
@@ -659,11 +704,11 @@ class PlannedBackend:
         S = sk.num_spans
 
         parts = []  # per column: (src, sstride, rs, cs, c0, trs) arrays
-        for ld in lds:
-            if ld.index not in origin_pos:
+        for o in np.asarray(lds, dtype=np.int64):
+            o = int(o)
+            if o not in origin_pos:
                 continue
-            base, rp = origin_pos[ld.index]
-            o = ld.index
+            base, rp = origin_pos[o]
             cs_, ce_ = int(sk.chain_col_ptr[o]), int(sk.chain_col_ptr[o + 1])
             nd = int(sk.lump_to_span[o + 1] - sk.lump_to_span[o])
             spans = sk.chain_row_span[cs_ + nd:ce_]
@@ -752,12 +797,12 @@ class PlannedBackend:
                 for s0 in range(0, len(group), per):
                     g = group[s0:s0 + per]
                     pb = PairBucket(
-                        rsp=g_rsp, stride=0,
+                        rsp=g_rsp,
                         src_base=_i32(src[g]),
                         src_stride=_i32(sstride[g]),
                         rs=_i32(rs[g]), cs=_i32(cls[g]),
                         c0=_i32(c0[g]), tgt_row_start=_i32(trs[g]),
-                        tgt_stride=_i32(stride[g]), kind="element")
+                        tgt_stride=_i32(stride[g]))
                     pb.csp = g_csp
                     pb.exact = exact_shape
                     out.append(pb)
@@ -821,7 +866,8 @@ class PlannedBackend:
                 cols=np.concatenate([lb.cols for lb in group]),
                 vec_off=np.concatenate([lb.vec_off for lb in group]),
                 below_idx=bidx, contiguous=False)
-            fused.members = sum((lb.members for lb in group), [])
+            fused.members = np.concatenate(
+                [np.asarray(lb.members) for lb in group])
             out.append(fused)
         return out
 
@@ -1010,6 +1056,51 @@ class PlannedBackend:
     # ------------------------------------------------------------------
     # public builders (same interface as UnrolledBackend)
     # ------------------------------------------------------------------
+    def _register_factor_level(self, level, aux_np) -> int:
+        """Register one factor level's aux arrays (pair-bucket descriptors
+        plus dense-path slot tables); returns the scan-window margin the
+        level needs at the end of the data vector."""
+        lump_buckets, pair_buckets, _, dense = level
+        max_win = 2
+        self._register_aux(pair_buckets, aux_np)
+        if dense is not None:
+            dense["slots"] = {}
+            for bi, rm in enumerate(dense["row_maps"]):
+                if rm is None:
+                    continue
+                dense["slots"][bi] = len(aux_np)
+                aux_np.append(rm)
+            dense["gslots"] = {}
+            for key, items in dense["groups"].items():
+                dense["gslots"][key] = len(aux_np)
+                aux_np.append(_i32(np.array(items)))  # (nc, 2): b0, lo
+            dense["sslots"] = []
+            for rsp, st, desc in dense["slice_scans"]:
+                dense["sslots"].append((rsp, st, len(aux_np)))
+                aux_np.append(desc)  # (S, 6) per-slice descriptors
+                max_win = max(max_win, rsp * st)
+        return max_win
+
+    def _run_factor_level(self, ext, level, aux):
+        """Execute one complete factor level inside a jit trace (shared by
+        make_factor and the per-op profiler, so profiling replays levels
+        with the exact numeric semantics — including the dense compact-U
+        path)."""
+        lump_buckets, pair_buckets, ptot, dense = level
+        if dense is not None:
+            ext = self._run_dense_level(ext, lump_buckets, pair_buckets,
+                                        dense, aux)
+            return ext
+        prods = []
+        for lb in lump_buckets:
+            ext, prod = self._factor_bucket(ext, lb)
+            if prod is not None:
+                prods.append(prod)
+        if prods:
+            flat = jnp.concatenate(prods) if len(prods) > 1 else prods[0]
+            ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+        return ext
+
     def make_factor(self, start_lump: int, end_lump: int):
         sched = self._factor_schedule(start_lump, end_lump)
         sk = self.plan.skel
@@ -1022,25 +1113,9 @@ class PlannedBackend:
             mask_slot = len(aux_np)
             aux_np.append(mask)
         max_win = 2
-        order = sk.order
-        for lump_buckets, pair_buckets, _, dense in sched:
-            self._register_aux(pair_buckets, aux_np)
-            if dense is not None:
-                dense["slots"] = {}
-                for bi, rm in enumerate(dense["row_maps"]):
-                    if rm is None:
-                        continue
-                    dense["slots"][bi] = len(aux_np)
-                    aux_np.append(rm)
-                dense["gslots"] = {}
-                for key, items in dense["groups"].items():
-                    dense["gslots"][key] = len(aux_np)
-                    aux_np.append(_i32(np.array(items)))  # (nc, 2): b0, lo
-                dense["sslots"] = []
-                for rsp, st, desc in dense["slice_scans"]:
-                    dense["sslots"].append((rsp, st, len(aux_np)))
-                    aux_np.append(desc)  # (S, 6) per-slice descriptors
-                    max_win = max(max_win, rsp * st)
+        for level in sched:
+            max_win = max(max_win, self._register_factor_level(level,
+                                                               aux_np))
 
         def factor(data, aux):
             if need_mask:  # padding must hold zeros (see block_matrix.py)
@@ -1048,116 +1123,109 @@ class PlannedBackend:
             # tail padding also absorbs window-scatter overruns (padded
             # run rows) so XLA's index clamping never shifts a window
             ext = jnp.concatenate([data, jnp.zeros(max_win, data.dtype)])
-            for lump_buckets, pair_buckets, ptot, dense in sched:
-                if dense is not None:
-                    # factor the level; accumulate its whole update into
-                    # the compact U via per-chunk one-hot-placed GEMMs
-                    # (lax.scan per uniform-shape chunk group), then
-                    # subtract U into targets via contiguous chain-run
-                    # slices (see _build_dense_update)
-                    R = dense["R"]
-                    xs = {}
-                    for bi, lb in enumerate(lump_buckets):
-                        ext, x = self._factor_bucket(ext, lb,
-                                                     want_below=True)
-                        if x is not None:
-                            xs[bi] = x
-                    # margins let scanned slice reads use full-stride
-                    # windows anchored at gc0 - c0 without going OOB
-                    upr, ulc, urc = dense["u_pads"]
-                    U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
-                    for (bi, nb, subp), items in dense["groups"].items():
-                        lb = lump_buckets[bi]
-                        x = xs[bi]
-                        rows_c = aux[dense["slots"][bi]]
-                        padB = dense["pad_b"][bi]
-                        if padB > x.shape[0]:
-                            padn = padB - x.shape[0]
-                            x = jnp.concatenate(
-                                [x, jnp.zeros((padn,) + x.shape[1:],
-                                              x.dtype)])
-                            rows_c = jnp.concatenate(
-                                [rows_c,
-                                 jnp.full((padn, rows_c.shape[1]), R,
-                                          jnp.int32)])
-                        b0lo = aux[dense["gslots"][(bi, nb, subp)]]
-
-                        def chunk_step(U, b0lo, x=x, rows_c=rows_c,
-                                       nb=nb, subp=subp):
-                            b0, lo = b0lo[0], b0lo[1]
-                            xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
-                            rc = jax.lax.dynamic_slice_in_dim(
-                                rows_c, b0, nb)
-                            ids = lo + jax.lax.broadcasted_iota(
-                                jnp.int32, (1, 1, subp), 2)
-                            oh = (rc[:, :, None] == ids).astype(x.dtype)
-                            y = jnp.einsum(
-                                "bir,bic->brc", oh, xc,
-                                preferred_element_type=x.dtype)
-                            usub = jnp.einsum(
-                                "brc,bsc->rs", y, y,
-                                preferred_element_type=x.dtype)
-                            Uc = jax.lax.dynamic_slice(
-                                U, (lo, ulc + lo), (subp, subp))
-                            return jax.lax.dynamic_update_slice(
-                                U, Uc + usub, (lo, ulc + lo)), None
-
-                        U, _ = jax.lax.scan(chunk_step, U, b0lo)
-                    for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
-                        region = jax.lax.dynamic_slice_in_dim(
-                            ext, off, rows * st).reshape(rows, st)
-                        region = region.at[:, c0:c0 + wc].add(
-                            -U[gr0:gr0 + rows, ulc + gc0:ulc + gc0 + wc])
-                        ext = jax.lax.dynamic_update_slice_in_dim(
-                            ext, region.reshape(-1), off, axis=0)
-                    # fragmented targets: same-padded-shape slice groups
-                    # under lax.scan — masked full-stride window RMWs
-                    for rsp, st, slot in dense["sslots"]:
-                        desc = aux[slot]
-
-                        def slice_step(ext, d, rsp=rsp, st=st, U=U,
-                                       ulc=ulc):
-                            off, c0, gr0, gc0c, rows, wc = (
-                                d[0], d[1], d[2], d[3], d[4], d[5])
-                            region = jax.lax.dynamic_slice_in_dim(
-                                ext, off, rsp * st).reshape(rsp, st)
-                            usub = jax.lax.dynamic_slice(
-                                U, (gr0, ulc + gc0c), (rsp, st))
-                            ri = jax.lax.broadcasted_iota(
-                                jnp.int32, (rsp, st), 0)
-                            ci = jax.lax.broadcasted_iota(
-                                jnp.int32, (rsp, st), 1)
-                            m = (ri < rows) & (ci >= c0) & (ci < c0 + wc)
-                            region = region - jnp.where(m, usub, 0.0)
-                            return jax.lax.dynamic_update_slice_in_dim(
-                                ext, region.reshape(-1), off, axis=0), None
-
-                        ext, _ = jax.lax.scan(slice_step, ext, desc)
-                    if pair_buckets:  # outlier origins: block-pair path
-                        prods = []
-                        for bi, idxs, _bidx in dense["out_groups"]:
-                            xo = xs[bi][jnp.asarray(idxs)]
-                            prods.append(jnp.einsum(
-                                "brk,bsk->brs", xo, xo,
-                                preferred_element_type=ext.dtype
-                            ).reshape(-1))
-                        flat = jnp.concatenate(prods) if len(prods) > 1 \
-                            else prods[0]
-                        ext = self._apply_pairs(ext, flat, pair_buckets,
-                                                aux)
-                    continue
-                prods = []
-                for lb in lump_buckets:
-                    ext, prod = self._factor_bucket(ext, lb)
-                    if prod is not None:
-                        prods.append(prod)
-                if prods:
-                    flat = jnp.concatenate(prods) if len(prods) > 1 \
-                        else prods[0]
-                    ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+            for level in sched:
+                ext = self._run_factor_level(ext, level, aux)
             return ext[:dsize]
 
         return factor, aux_np
+
+    def _run_dense_level(self, ext, lump_buckets, pair_buckets, dense,
+                         aux):
+        """Factor the level; accumulate its whole update into the compact
+        U via per-chunk one-hot-placed GEMMs (lax.scan per uniform-shape
+        chunk group), then subtract U into targets via contiguous
+        chain-run slices (see _build_dense_update)."""
+        R = dense["R"]
+        xs = {}
+        for bi, lb in enumerate(lump_buckets):
+            ext, x = self._factor_bucket(ext, lb,
+                                         want_below=True)
+            if x is not None:
+                xs[bi] = x
+        # margins let scanned slice reads use full-stride
+        # windows anchored at gc0 - c0 without going OOB
+        upr, ulc, urc = dense["u_pads"]
+        U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
+        for (bi, nb, subp), items in dense["groups"].items():
+            lb = lump_buckets[bi]
+            x = xs[bi]
+            rows_c = aux[dense["slots"][bi]]
+            padB = dense["pad_b"][bi]
+            if padB > x.shape[0]:
+                padn = padB - x.shape[0]
+                x = jnp.concatenate(
+                    [x, jnp.zeros((padn,) + x.shape[1:],
+                                  x.dtype)])
+                rows_c = jnp.concatenate(
+                    [rows_c,
+                     jnp.full((padn, rows_c.shape[1]), R,
+                              jnp.int32)])
+            b0lo = aux[dense["gslots"][(bi, nb, subp)]]
+
+            def chunk_step(U, b0lo, x=x, rows_c=rows_c,
+                           nb=nb, subp=subp):
+                b0, lo = b0lo[0], b0lo[1]
+                xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                rc = jax.lax.dynamic_slice_in_dim(
+                    rows_c, b0, nb)
+                ids = lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, subp), 2)
+                oh = (rc[:, :, None] == ids).astype(x.dtype)
+                y = jnp.einsum(
+                    "bir,bic->brc", oh, xc,
+                    preferred_element_type=x.dtype)
+                usub = jnp.einsum(
+                    "brc,bsc->rs", y, y,
+                    preferred_element_type=x.dtype)
+                Uc = jax.lax.dynamic_slice(
+                    U, (lo, ulc + lo), (subp, subp))
+                return jax.lax.dynamic_update_slice(
+                    U, Uc + usub, (lo, ulc + lo)), None
+
+            U, _ = jax.lax.scan(chunk_step, U, b0lo)
+        for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
+            region = jax.lax.dynamic_slice_in_dim(
+                ext, off, rows * st).reshape(rows, st)
+            region = region.at[:, c0:c0 + wc].add(
+                -U[gr0:gr0 + rows, ulc + gc0:ulc + gc0 + wc])
+            ext = jax.lax.dynamic_update_slice_in_dim(
+                ext, region.reshape(-1), off, axis=0)
+        # fragmented targets: same-padded-shape slice groups
+        # under lax.scan — masked full-stride window RMWs
+        for rsp, st, slot in dense["sslots"]:
+            desc = aux[slot]
+
+            def slice_step(ext, d, rsp=rsp, st=st, U=U,
+                           ulc=ulc):
+                off, c0, gr0, gc0c, rows, wc = (
+                    d[0], d[1], d[2], d[3], d[4], d[5])
+                region = jax.lax.dynamic_slice_in_dim(
+                    ext, off, rsp * st).reshape(rsp, st)
+                usub = jax.lax.dynamic_slice(
+                    U, (gr0, ulc + gc0c), (rsp, st))
+                ri = jax.lax.broadcasted_iota(
+                    jnp.int32, (rsp, st), 0)
+                ci = jax.lax.broadcasted_iota(
+                    jnp.int32, (rsp, st), 1)
+                m = (ri < rows) & (ci >= c0) & (ci < c0 + wc)
+                region = region - jnp.where(m, usub, 0.0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    ext, region.reshape(-1), off, axis=0), None
+
+            ext, _ = jax.lax.scan(slice_step, ext, desc)
+        if pair_buckets:  # outlier origins: block-pair path
+            prods = []
+            for bi, idxs, _bidx in dense["out_groups"]:
+                xo = xs[bi][jnp.asarray(idxs)]
+                prods.append(jnp.einsum(
+                    "brk,bsk->brs", xo, xo,
+                    preferred_element_type=ext.dtype
+                ).reshape(-1))
+            flat = jnp.concatenate(prods) if len(prods) > 1 \
+                else prods[0]
+            ext = self._apply_pairs(ext, flat, pair_buckets,
+                                    aux)
+        return ext
 
     # -- solve ----------------------------------------------------------
     def _bucket_xidx(self, sb: LumpBucket, order):
@@ -1501,7 +1569,7 @@ class PlannedBackend:
         plan = self.plan
         order = plan.skel.order
         buckets = self._bucket_lumps(
-            [plan.lumps[l] for l in range(start_lump, plan.skel.num_lumps)],
+            np.arange(start_lump, plan.skel.num_lumps, dtype=np.int64),
             with_below_idx=True)
 
         aux_np = []

