@@ -7,6 +7,26 @@ HBM buffers, with batching as a vmapped leading axis and multi-chip
 scaling via jax.sharding over the batch dimension.
 """
 
+def _tune_malloc():
+    """Route large allocations through the reusable heap instead of
+    per-allocation mmap/munmap. Symbolic analysis at BAL scale churns
+    through GBs of large numpy temporaries; glibc munmaps each on free,
+    so every one pays first-touch page faults again — and under
+    sandboxed/virtualized kernels a fault costs ~100x bare metal
+    (measured on this box: first touch of a fresh 76 MB buffer ~6 s,
+    reused heap memory ~60 ms)."""
+    import ctypes
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 256 << 20)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 from .sparse_structure import SparseStructure
 from .block_matrix import CoalescedBlockMatrixSkel
 from .accessor import CoalescedAccessor, PermutedCoalescedAccessor

@@ -74,6 +74,11 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_full_elim_fill_count.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.bs_full_elim_fill_fill.restype = ctypes.c_int
     lib.bs_full_elim_fill_fill.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.bs_indep_elim_fill_count.restype = ctypes.c_int64
+    lib.bs_indep_elim_fill_count.argtypes = [
+        ctypes.c_int64, i64p, i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.bs_indep_elim_fill_fill.restype = ctypes.c_int
+    lib.bs_indep_elim_fill_fill.argtypes = [ctypes.c_int64, i64p]
     lib.bs_build_etree.restype = ctypes.c_int
     lib.bs_build_etree.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p, i64p, i64p]
     lib.bs_level_schedule.restype = ctypes.c_int
@@ -126,6 +131,28 @@ def try_full_elim_fill(ptrs: np.ndarray,
     out_inds = np.empty(total, dtype=np.int64)
     rc = lib.bs_full_elim_fill_fill(n, _as_i64p(ptrs), _as_i64p(inds),
                                     _as_i64p(out_ptrs), _as_i64p(out_inds))
+    if rc != 0:
+        return None
+    return out_ptrs, out_inds
+
+
+def try_indep_elim_fill(ptrs: np.ndarray, inds: np.ndarray, start: int,
+                        end: int) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Independent-elimination fill; returns (out_ptrs, out_inds) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(ptrs) - 1
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    out_ptrs = np.empty(n + 1, dtype=np.int64)
+    total = lib.bs_indep_elim_fill_count(n, _as_i64p(ptrs), _as_i64p(inds),
+                                         int(start), int(end),
+                                         _as_i64p(out_ptrs))
+    if total < 0:
+        return None
+    out_inds = np.empty(total, dtype=np.int64)
+    rc = lib.bs_indep_elim_fill_fill(total, _as_i64p(out_inds))
     if rc != 0:
         return None
     return out_ptrs, out_inds

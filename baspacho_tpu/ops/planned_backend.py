@@ -31,6 +31,7 @@ from `zero`. Wrappers pad/strip.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
@@ -169,12 +170,14 @@ class PlannedBackend:
     DENSE_MAX_ORDER = 16384   # max compact region (touched rows) of U
 
     # cost-model constants for the dense-vs-pairs decision (measured on
-    # TPU v5e: XLA elementwise gather+scatter ~20ns/element; MXU f32
-    # highest-precision effective throughput ~2e13 flop/s; per-XLA-op
-    # launch overhead ~2us)
-    ELEM_NS = 20e-9
+    # TPU v5e: MXU f32 highest-precision effective throughput ~2e13
+    # flop/s; per-XLA-op launch overhead ~2us; HBM read+write bandwidth.
+    # Scatter cost is modeled per addressed row — see ROW_NS below; the
+    # round-2 "~20ns/element" figure was a 3-wide-row measurement of the
+    # same per-row bound.)
     MXU_FLOPS = 2.0e13
     OP_US = 2e-6
+    HBM_BPS = 8.0e11
 
     def _build_level(self, lds, with_below_idx=False):
         """Bucket the level's lumps (`lds` is an array of lump ids);
@@ -182,14 +185,21 @@ class PlannedBackend:
         enumerate assembly block pairs (or mark the level for the dense
         compact-U update path). The two assembly mechanisms are costed
         against each other per level."""
+        import time as _time
         plan = self.plan
         lds = np.asarray(lds, dtype=np.int64)
         below_all = plan.lump_total_rows[lds] - plan.lump_sizes[lds]
+        _t0 = _time.perf_counter()
         lump_buckets = self._bucket_lumps(lds, with_below_idx)
+        _t1 = _time.perf_counter()
         n_origins = int(np.count_nonzero(below_all > 0))
         dense_info = None
         if n_origins >= self.DENSE_MIN_ORIGINS:
             dense_info = self._build_dense_update(lds, lump_buckets)
+        _t2 = _time.perf_counter()
+        if os.environ.get("BASPACHO_PLAN_DEBUG") and _t2 - _t0 > 0.5:
+            print(f"[plan-host] level({len(lds)}): bucket {_t1-_t0:.2f}s "
+                  f"dense-plan {_t2-_t1:.2f}s", flush=True)
 
         prod_total = 0
         origin_pos: Dict[int, Tuple[int, int]] = {}
@@ -201,17 +211,25 @@ class PlannedBackend:
                 origin_pos[l] = (prod_total + bi * lb.rp * lb.rp, lb.rp)
             prod_total += len(lb.off) * lb.rp * lb.rp
 
-        import os
         debug = os.environ.get("BASPACHO_PLAN_DEBUG")
         force = os.environ.get("BASPACHO_FORCE_ASSEMBLY")  # dense|pairs
 
         if dense_info is not None and force != "pairs":
-            # cheap LOWER bound on the pair path (unpadded block-pair
-            # elements) — when dense beats even that, skip enumerating
+            # cheap LOWER bound on the pair path (scatter cost is per
+            # addressed ROW — assume optimistically wide 32-col blocks —
+            # plus element traffic and the product buffer at HBM
+            # bandwidth). When dense beats even that, skip enumerating
             # pairs entirely (at BAL scale that enumeration costs minutes
-            # of host time and would be discarded)
-            lower = (float((below_all * (below_all + 1) // 2).sum()) +
-                     prod_total) * self.ELEM_NS
+            # of host time and would be discarded).
+            elems_lb = float((below_all * (below_all + 1) // 2).sum())
+            lower = (elems_lb / 32) * self.ROW_NS + \
+                (elems_lb + prod_total) * 8 / self.HBM_BPS
+            # massive fragmented levels: enumerating pairs just to price
+            # them costs minutes of host time (527k-landmark BAL measured
+            # ~100 s in _build_pairs alone); when a dense plan exists for
+            # such a level, take it without pricing the alternative
+            if len(lds) > 20000:
+                lower = float("inf")
             if dense_info["cost"] < lower or force == "dense":
                 if debug:
                     print(f"[plan] level({len(lds)} lumps): DENSE "
@@ -225,9 +243,12 @@ class PlannedBackend:
         if dense_info is not None and force != "pairs":
             pairs_elems = sum(
                 len(pb.rs) * pb.rsp * pb.csp for pb in pair_buckets)
+            pairs_rows = sum(
+                len(pb.rs) * pb.rsp for pb in pair_buckets)
             prod_flops = sum(len(lb.off) * lb.rp * lb.rp * lb.cp
                              for lb in lump_buckets)
-            pairs_cost = (pairs_elems + prod_total) * self.ELEM_NS + \
+            pairs_cost = pairs_rows * self.ROW_NS + \
+                (pairs_elems + prod_total) * 8 / self.HBM_BPS + \
                 prod_flops / self.MXU_FLOPS + \
                 len(pair_buckets) * self.OP_US
             if debug:
@@ -256,6 +277,13 @@ class PlannedBackend:
     #                         (fused compare+convert feeding the MXU;
     #                         calibrated against measured flat_schur and
     #                         BAL dense-level times)
+    ROW_NS = 60e-9          # modeled scatter cost per ADDRESSED ROW: TPU
+    #                         scatter throughput is per-index-row bound,
+    #                         not per-element (3-wide rows measured
+    #                         ~20 ns/el = ~60 ns/row in round 2; wide
+    #                         rows approach HBM bandwidth)
+    W_MAX_ELEMS = 32 << 20  # cap on materialized W (R x K) for the
+    #                         scatter-built dense mode (128 MB f32)
 
     def _pick_chunk_width(self, minmax, lb, R):
         """Adaptive chunk width for the dense-update accumulation.
@@ -449,6 +477,23 @@ class PlannedBackend:
         med = float(np.median(np.concatenate(all_spreads))) \
             if all_spreads else 0.0
         out_cap = max(2 * self.SUB_FLOOR, 4 * _ceil_pow2(max(int(med), 1)))
+
+        # dense sub-strategy: when W (R x K, K = total padded origin
+        # columns) fits, MATERIALIZE it with one panel scatter per bucket
+        # and compute U = W W^T as a single GEMM — panel scatters address
+        # whole cp-wide rows (~HBM speed), the GEMM is pure MXU, and the
+        # solve's below updates collapse to two matvecs against W. The
+        # chunked one-hot accumulation remains for levels whose W would
+        # not fit (e.g. 527k-landmark BAL level 0). Round 2 shipped only
+        # the one-hot form and lost 4 ms on flat1000 against round 1's
+        # scatter-built W — this restores the better mechanism under an
+        # explicit size guard.
+        Kp = sum(len(lump_buckets[bi].off) * lump_buckets[bi].cp
+                 for bi, pb_ in per_bucket.items() if pb_ is not None)
+        force_dm = os.environ.get("BASPACHO_FORCE_DENSE_MODE")
+        w_mode = (R + 1) * Kp <= self.W_MAX_ELEMS and force_dm != "oh"
+        if w_mode:
+            out_cap = 1 << 62  # whole R is materialized: no outliers
         row_maps = []
         outliers = []  # (bucket index, position in bucket, lump id)
         minmax_b = {}
@@ -491,45 +536,63 @@ class PlannedBackend:
         OH_CAP = 64 << 20  # max one-hot elements per chunk
         groups: Dict[Tuple[int, int, int], list] = {}
         pad_b = {}
+        col_base: Dict[int, int] = {}
         total_flops = 0
         total_oh = 0
         n_chunks = 0
-        for bi, lb in enumerate(lump_buckets):
-            if lb.rp == 0 or per_bucket.get(bi) is None:
-                continue
-            B = len(lb.off)
-            per = self._pick_chunk_width(minmax_b[bi], lb, R)
-            rc = row_maps[bi]
-
-            def sub_of(b0, b1):
-                real = rc[b0:b1][rc[b0:b1] < R]
-                if not len(real):
-                    return None, None
-                lo, hi = int(real.min()), int(real.max()) + 1
-                subp = min(_ceil_pow2(max(hi - lo, self.SUB_FLOOR)), R)
-                if subp >= R:
-                    return 0, R
-                return max(0, min(lo, R - subp)), subp
-
-            work = [(b0, min(b0 + per, B)) for b0 in range(0, B, per)]
-            while work:
-                b0, b1 = work.pop()
-                lo, subp = sub_of(b0, b1)
-                if lo is None:
+        w_rows = 0
+        if w_mode:
+            kcur = 0
+            for bi, lb in enumerate(lump_buckets):
+                if lb.rp == 0 or per_bucket.get(bi) is None:
                     continue
-                nb = b1 - b0
-                if nb > 1 and nb * lb.rp * subp > OH_CAP:
-                    mid = (b0 + b1) // 2
-                    work += [(b0, mid), (mid, b1)]
+                col_base[bi] = kcur
+                kcur += len(lb.off) * lb.cp
+                w_rows += len(lb.off) * lb.rp
+            if not col_base:
+                return None
+            total_flops = 2 * R * R * kcur
+            mode_cost = w_rows * self.ROW_NS + \
+                (R + 1) * kcur * 8 / self.HBM_BPS
+        else:
+            for bi, lb in enumerate(lump_buckets):
+                if lb.rp == 0 or per_bucket.get(bi) is None:
                     continue
-                groups.setdefault((bi, nb, subp), []).append((b0, lo))
-                pad_b[bi] = max(pad_b.get(bi, B), b0 + nb)
-                total_flops += 2 * subp * subp * nb * lb.cp + \
-                    2 * nb * lb.rp * subp * lb.cp
-                total_oh += nb * lb.rp * subp
-                n_chunks += 1
-        if not groups:
-            return None
+                B = len(lb.off)
+                per = self._pick_chunk_width(minmax_b[bi], lb, R)
+                rc = row_maps[bi]
+
+                def sub_of(b0, b1):
+                    real = rc[b0:b1][rc[b0:b1] < R]
+                    if not len(real):
+                        return None, None
+                    lo, hi = int(real.min()), int(real.max()) + 1
+                    subp = min(_ceil_pow2(max(hi - lo, self.SUB_FLOOR)), R)
+                    if subp >= R:
+                        return 0, R
+                    return max(0, min(lo, R - subp)), subp
+
+                work = [(b0, min(b0 + per, B)) for b0 in range(0, B, per)]
+                while work:
+                    b0, b1 = work.pop()
+                    lo, subp = sub_of(b0, b1)
+                    if lo is None:
+                        continue
+                    nb = b1 - b0
+                    if nb > 1 and nb * lb.rp * subp > OH_CAP:
+                        mid = (b0 + b1) // 2
+                        work += [(b0, mid), (mid, b1)]
+                        continue
+                    groups.setdefault((bi, nb, subp), []).append((b0, lo))
+                    pad_b[bi] = max(pad_b.get(bi, B), b0 + nb)
+                    total_flops += 2 * subp * subp * nb * lb.cp + \
+                        2 * nb * lb.rp * subp * lb.cp
+                    total_oh += nb * lb.rp * subp
+                    n_chunks += 1
+            if not groups:
+                return None
+            mode_cost = n_chunks * self.CHUNK_STEP_US + \
+                total_oh * self.OH_GEN_NS
 
         # per target lump: row runs x column runs over touched spans only
         touched_lumps = np.unique(sk.span_to_lump[tspans]).tolist()
@@ -598,16 +661,17 @@ class PlannedBackend:
             i = j + 1
 
         slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
-        chunk_cost = n_chunks * self.CHUNK_STEP_US + \
-            total_oh * self.OH_GEN_NS
+        mode_fields = {"mode": "w" if w_mode else "oh",
+                       "Kp": kcur if w_mode else 0,
+                       "col_base": col_base}
         if len(slices) <= self.UNROLL_SLICES:
-            cost = total_flops / self.MXU_FLOPS + chunk_cost + \
+            cost = total_flops / self.MXU_FLOPS + mode_cost + \
                 len(slices) * 3 * self.OP_US + \
                 (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
             return {"R": R, "groups": groups, "row_maps": row_maps,
                     "pad_b": pad_b, "slices": slices, "slice_scans": [],
                     "u_pads": (0, 0, 0), "vec_slices": vec_slices,
-                    "outliers": outliers, "cost": cost}
+                    "outliers": outliers, "cost": cost, **mode_fields}
 
         # too many slices to unroll: group by padded (row, stride) shape
         # and run each group as one lax.scan of masked window updates.
@@ -629,14 +693,14 @@ class PlannedBackend:
             slice_scans.append((rsp, st, _i32(np.array(items))))
             pr = max(pr, rsp)
             lc = max(lc, st)
-        cost = total_flops / self.MXU_FLOPS + chunk_cost + \
+        cost = total_flops / self.MXU_FLOPS + mode_cost + \
             len(slices) * self.SCAN_SLICE_US + \
             len(slice_scans) * self.OP_US + \
             (R * R + 2 * pad_elems) * 4 / 8e11
         return {"R": R, "groups": groups, "row_maps": row_maps,
                 "pad_b": pad_b, "slices": [], "slice_scans": slice_scans,
                 "u_pads": (pr, lc, lc), "vec_slices": vec_slices,
-                "outliers": outliers, "cost": cost}
+                "outliers": outliers, "cost": cost, **mode_fields}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         """Group the lump ids by padded panel shape (fully vectorized —
@@ -812,23 +876,32 @@ class PlannedBackend:
                 emit(g, int(rs[g[0]]), int(cls[g[0]]), True)
             rest = esel[~is_exact]
             if len(rest):
+                # leftovers group by PER-SHAPE pow2 padding (<= 4x waste
+                # each). A single max-padded catch-all was measured to
+                # inflate flat1000's level-0 scatter volume 150x (pairs
+                # up to 543 rows padded to 1024x1024 windows).
                 rsp_e = _pad_pow2(rs[rest], PAD_COLS)
                 csp_e = _pad_pow2(cls[rest], PAD_COLS)
-                small = (rsp_e <= 8) & (csp_e <= 8)
-                for group in (rest[small], rest[~small]):
-                    if not len(group):
-                        continue
-                    emit(group,
-                         int(_pad_pow2(rs[group], PAD_COLS).max()),
-                         int(_pad_pow2(cls[group], PAD_COLS).max()), False)
+                pkey = rsp_e * 100000 + csp_e
+                for key in np.unique(pkey):
+                    group = rest[pkey == key]
+                    emit(group, int(key) // 100000, int(key) % 100000,
+                         False)
         return out
 
     def _solve_schedule(self, start: int, end: int) -> List[List[LumpBucket]]:
         key = (start, end)
         sched = self._solve_cache.get(key)
         if sched is None:
-            sched = [self._bucket_lumps(lds, with_below_idx=True)
-                     for lds in self._by_level(start, end)]
+            # the factor schedule's lump buckets are built with the same
+            # (with_below_idx=True) layout — reuse them: re-bucketing
+            # 500k+ lumps costs ~a minute of host time at BAL scale
+            fs = self._sched_cache.get(key)
+            if fs is not None:
+                sched = [lev[0] for lev in fs]
+            else:
+                sched = [self._bucket_lumps(lds, with_below_idx=True)
+                         for lds in self._by_level(start, end)]
             self._solve_cache[key] = sched
         return sched
 
@@ -1129,6 +1202,63 @@ class PlannedBackend:
 
         return factor, aux_np
 
+    def _build_w(self, dtype, dense, lump_buckets, panels, aux,
+                 slots=None):
+        """Materialize W (R x Kp): scatter each bucket's (B, rows, cp)
+        panels to their compact row positions; bucket bi's columns start
+        at col_base[bi]. Row maps carry the R sentinel on padding rows —
+        those land in W's sacrificial last row. Returns W[:R]."""
+        R, Kp = dense["R"], dense["Kp"]
+        if slots is None:
+            slots = dense["slots"]
+        W = jnp.zeros((R + 1) * Kp, dtype)
+        for bi, base in dense["col_base"].items():
+            if bi not in panels:
+                continue
+            x = panels[bi]
+            lb = lump_buckets[bi]
+            rc = aux[slots[bi]]  # (B, rp) int32, R = sentinel
+            colb = jnp.asarray(base +
+                               np.arange(len(lb.off), dtype=np.int32) *
+                               lb.cp)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb.cp), 2)
+            idx = rc[:, :, None] * Kp + colb[:, None, None] + ci
+            W = W.at[idx].set(x, indices_are_sorted=False,
+                              unique_indices=True)
+        return W.reshape(R + 1, Kp)[:R]
+
+    def _apply_dense_slices(self, ext, dense, U, ulc, aux):
+        """Subtract the compact update U into target panels: unrolled
+        contiguous chain-run slices, then scanned same-shape groups."""
+        for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
+            region = jax.lax.dynamic_slice_in_dim(
+                ext, off, rows * st).reshape(rows, st)
+            region = region.at[:, c0:c0 + wc].add(
+                -U[gr0:gr0 + rows, ulc + gc0:ulc + gc0 + wc])
+            ext = jax.lax.dynamic_update_slice_in_dim(
+                ext, region.reshape(-1), off, axis=0)
+        # fragmented targets: same-padded-shape slice groups under
+        # lax.scan — masked full-stride window RMWs
+        for rsp, st, slot in dense["sslots"]:
+            desc = aux[slot]
+
+            def slice_step(ext, d, rsp=rsp, st=st, U=U, ulc=ulc):
+                off, c0, gr0, gc0c, rows, wc = (
+                    d[0], d[1], d[2], d[3], d[4], d[5])
+                region = jax.lax.dynamic_slice_in_dim(
+                    ext, off, rsp * st).reshape(rsp, st)
+                usub = jax.lax.dynamic_slice(
+                    U, (gr0, ulc + gc0c), (rsp, st))
+                ri = jax.lax.broadcasted_iota(jnp.int32, (rsp, st), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (rsp, st), 1)
+                m = (ri < rows) & (ci >= c0) & (ci < c0 + wc)
+                region = region - jnp.where(m, usub, 0.0)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    ext, region.reshape(-1), off, axis=0), None
+
+            ext, _ = jax.lax.scan(slice_step, ext, desc)
+        return ext
+
     def _run_dense_level(self, ext, lump_buckets, pair_buckets, dense,
                          aux):
         """Factor the level; accumulate its whole update into the compact
@@ -1145,6 +1275,18 @@ class PlannedBackend:
         # margins let scanned slice reads use full-stride
         # windows anchored at gc0 - c0 without going OOB
         upr, ulc, urc = dense["u_pads"]
+        if dense.get("mode") == "w":
+            # scatter-built W: one panel scatter per bucket (addresses
+            # whole cp-wide rows), then U = W W^T as a single MXU GEMM
+            Wm = self._build_w(ext.dtype, dense, lump_buckets, xs, aux)
+            U_core = jnp.einsum("rk,sk->rs", Wm, Wm,
+                                preferred_element_type=ext.dtype)
+            if (upr, ulc, urc) == (0, 0, 0):
+                U = U_core
+            else:
+                U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
+                U = jax.lax.dynamic_update_slice(U, U_core, (0, ulc))
+            return self._apply_dense_slices(ext, dense, U, ulc, aux)
         U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
         for (bi, nb, subp), items in dense["groups"].items():
             lb = lump_buckets[bi]
@@ -1183,36 +1325,7 @@ class PlannedBackend:
                     U, Uc + usub, (lo, ulc + lo)), None
 
             U, _ = jax.lax.scan(chunk_step, U, b0lo)
-        for off, rows, st, c0, wc, gr0, gc0 in dense["slices"]:
-            region = jax.lax.dynamic_slice_in_dim(
-                ext, off, rows * st).reshape(rows, st)
-            region = region.at[:, c0:c0 + wc].add(
-                -U[gr0:gr0 + rows, ulc + gc0:ulc + gc0 + wc])
-            ext = jax.lax.dynamic_update_slice_in_dim(
-                ext, region.reshape(-1), off, axis=0)
-        # fragmented targets: same-padded-shape slice groups
-        # under lax.scan — masked full-stride window RMWs
-        for rsp, st, slot in dense["sslots"]:
-            desc = aux[slot]
-
-            def slice_step(ext, d, rsp=rsp, st=st, U=U,
-                           ulc=ulc):
-                off, c0, gr0, gc0c, rows, wc = (
-                    d[0], d[1], d[2], d[3], d[4], d[5])
-                region = jax.lax.dynamic_slice_in_dim(
-                    ext, off, rsp * st).reshape(rsp, st)
-                usub = jax.lax.dynamic_slice(
-                    U, (gr0, ulc + gc0c), (rsp, st))
-                ri = jax.lax.broadcasted_iota(
-                    jnp.int32, (rsp, st), 0)
-                ci = jax.lax.broadcasted_iota(
-                    jnp.int32, (rsp, st), 1)
-                m = (ri < rows) & (ci >= c0) & (ci < c0 + wc)
-                region = region - jnp.where(m, usub, 0.0)
-                return jax.lax.dynamic_update_slice_in_dim(
-                    ext, region.reshape(-1), off, axis=0), None
-
-            ext, _ = jax.lax.scan(slice_step, ext, desc)
+        ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
         if pair_buckets:  # outlier origins: block-pair path
             prods = []
             for bi, idxs, _bidx in dense["out_groups"]:
@@ -1396,6 +1509,62 @@ class PlannedBackend:
                         margin = max(margin, (sb.cp + sb.rp) * sb.cp)
                 levels.append(info)
 
+        def xcat_of(info, xs, nrhs, dtype):
+            """Concatenate per-bucket solved values (B, cp, nrhs) into
+            W-column order (Kp, nrhs); padded columns hold zeros."""
+            dense = info["dense"]
+            parts = []
+            for bi, base in sorted(dense["col_base"].items(),
+                                   key=lambda kv: kv[1]):
+                x = xs.get(bi)
+                lb = info["buckets"][bi]
+                if x is None:
+                    parts.append(jnp.zeros((len(lb.off) * lb.cp, nrhs),
+                                           dtype))
+                else:
+                    parts.append(x.reshape(-1, nrhs))
+            return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        def dense_below_fwd_w(vv, info, xs, belows, aux):
+            """W-mode forward below update: vv[rows] -= W @ xcat."""
+            dense = info["dense"]
+            nrhs = vv.shape[1]
+            Wm = self._build_w(vv.dtype, dense, info["buckets"], belows,
+                               aux, slots=info["slots"])
+            acc = jnp.einsum("rk,kn->rn", Wm,
+                             xcat_of(info, xs, nrhs, vv.dtype),
+                             preferred_element_type=vv.dtype)
+            if "cidx_slot" in info:
+                vv = vv.at[aux[info["cidx_slot"]]].add(
+                    -acc, indices_are_sorted=False, unique_indices=True)
+            else:
+                for v0, ln, g0 in dense["vec_slices"]:
+                    vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
+            return vv
+
+        def dense_dx_w(vv, info, belows, aux):
+            """W-mode transpose corrections: dx = W^T acc, split back to
+            per-bucket (B, cp, nrhs)."""
+            dense = info["dense"]
+            R = dense["R"]
+            nrhs = vv.shape[1]
+            if "cidx_slot" in info:
+                acc = vv[aux[info["cidx_slot"]]]
+            else:
+                acc = jnp.zeros((R, nrhs), vv.dtype)
+                for v0, ln, g0 in dense["vec_slices"]:
+                    acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
+            Wm = self._build_w(vv.dtype, dense, info["buckets"], belows,
+                               aux, slots=info["slots"])
+            dxcat = jnp.einsum("rk,rn->kn", Wm, acc,
+                               preferred_element_type=vv.dtype)
+            dxs = {}
+            for bi, base in dense["col_base"].items():
+                lb = info["buckets"][bi]
+                piece = dxcat[base:base + len(lb.off) * lb.cp]
+                dxs[bi] = piece.reshape(len(lb.off), lb.cp, nrhs)
+            return dxs
+
         def dense_below_fwd(vv, info, xs, belows, aux):
             dense = info["dense"]
             R = dense["R"]
@@ -1513,7 +1682,12 @@ class PlannedBackend:
                         if below is not None:
                             xs[bi], belows[bi] = x, below
                     if xs:
-                        vv = dense_below_fwd(vv, info, xs, belows, aux)
+                        if info["dense"].get("mode") == "w":
+                            vv = dense_below_fwd_w(vv, info, xs, belows,
+                                                   aux)
+                        else:
+                            vv = dense_below_fwd(vv, info, xs, belows,
+                                                 aux)
                     for bi, idxs, slot in info["out"]:
                         ji = jnp.asarray(idxs)
                         y = jnp.einsum("brk,bkn->brn", belows[bi][ji],
@@ -1534,7 +1708,12 @@ class PlannedBackend:
                         if sb.rp > 0:
                             panels = self._read_panels(ext, sb)
                             belows[bi] = panels[:, sb.cp:]
-                    dxs = dense_dx(vv, info, belows, aux) if belows else {}
+                    if not belows:
+                        dxs = {}
+                    elif info["dense"].get("mode") == "w":
+                        dxs = dense_dx_w(vv, info, belows, aux)
+                    else:
+                        dxs = dense_dx(vv, info, belows, aux)
                     for bi, idxs, slot in info["out"]:
                         ji = jnp.asarray(idxs)
                         tmp = vv[aux[slot]]

@@ -125,6 +125,12 @@ class SparseStructure:
         if elim_end == ord_:
             return self
 
+        from . import native
+        fast = native.try_indep_elim_fill(self.ptrs, self.inds,
+                                          elim_start, elim_end)
+        if fast is not None:
+            return SparseStructure(fast[0], fast[1])
+
         rows_all = self.expanded_rows()
         cols_all = self.inds
 

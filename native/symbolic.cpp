@@ -95,6 +95,77 @@ static void fill_pass(i64 n, const i64* ptrs, const i64* inds,
   }
 }
 
+// ---------------------------------------------------------------------------
+// independent-elimination fill: eliminating block-columns [start, end) (an
+// independent set) connects every pair of rows sharing a column in the
+// range. Result = original entries + diagonal + all (hi, lo) pairs with
+// hi >= end, deduped, per-row sorted. Mirrors the Python
+// SparseStructure.add_independent_elimination_fill (itself matching
+// reference SparseStructure.cpp:161-222) but runs the pair enumeration +
+// sort-unique in C++ — the Python/numpy version costs ~25 s at
+// 527k-landmark BAL scale.
+// Two-call protocol: _count computes everything and caches the result;
+// _fill copies it out and releases the cache (single-threaded use).
+// ---------------------------------------------------------------------------
+static vector<i64> g_indep_inds;
+
+i64 bs_indep_elim_fill_count(i64 n, const i64* ptrs, const i64* inds,
+                             i64 start, i64 end, i64* out_ptrs) {
+  if (start < 0 || end < start || end > n) return -1;
+  i64 nnz = ptrs[n];
+  // column lists of the elim range (rows > col)
+  vector<i64> ccount(end - start, 0);
+  for (i64 k = 0; k < n; k++)
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+      i64 c = inds[q];
+      if (c >= start && c < end && k > c) ccount[c - start]++;
+    }
+  vector<i64> cptr(end - start + 1, 0);
+  for (i64 c = 0; c < end - start; c++) cptr[c + 1] = cptr[c] + ccount[c];
+  vector<i64> crows(cptr[end - start]);
+  {
+    vector<i64> cur(cptr.begin(), cptr.end() - 1);
+    for (i64 k = 0; k < n; k++)
+      for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++) {
+        i64 c = inds[q];
+        if (c >= start && c < end && k > c) crows[cur[c - start]++] = k;
+      }
+  }
+  vector<i64> keys;
+  keys.reserve(nnz + n + crows.size() * 4);
+  for (i64 k = 0; k < n; k++) {
+    for (i64 q = ptrs[k]; q < ptrs[k + 1]; q++)
+      keys.push_back(k * n + inds[q]);
+    keys.push_back(k * n + k);  // diagonal
+  }
+  for (i64 c = 0; c < end - start; c++) {
+    i64 a = cptr[c], b = cptr[c + 1];
+    for (i64 i = a; i < b; i++)
+      for (i64 j = i + 1; j < b; j++) {
+        i64 hi = crows[i], lo = crows[j];
+        if (hi < lo) std::swap(hi, lo);
+        if (hi >= end) keys.push_back(hi * n + lo);
+      }
+  }
+  std::sort(keys.begin(), keys.end());
+  keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  for (i64 k = 0; k <= n; k++) out_ptrs[k] = 0;
+  for (i64 key : keys) out_ptrs[key / n + 1]++;
+  for (i64 k = 0; k < n; k++) out_ptrs[k + 1] += out_ptrs[k];
+  g_indep_inds.resize(keys.size());
+  for (size_t i = 0; i < keys.size(); i++)
+    g_indep_inds[i] = keys[i] % n;
+  return (i64)keys.size();
+}
+
+int bs_indep_elim_fill_fill(i64 total, i64* out_inds) {
+  if ((i64)g_indep_inds.size() != total) return -1;
+  std::memcpy(out_inds, g_indep_inds.data(), total * sizeof(i64));
+  g_indep_inds.clear();
+  g_indep_inds.shrink_to_fit();
+  return 0;
+}
+
 i64 bs_full_elim_fill_count(i64 n, const i64* ptrs, const i64* inds,
                             i64* out_ptrs) {
   vector<i64> counts(n, 0);

@@ -50,6 +50,20 @@ def test_full_elim_fill_parity(monkeypatch):
         np.testing.assert_array_equal(native_res.inds, py_res.inds)
 
 
+def test_indep_elim_fill_parity(monkeypatch):
+    for ss, _ in _problems():
+        low = _lower_csr(ss)
+        n = low.order
+        for start, end in [(0, n // 3), (n // 4, n // 2)]:
+            native_res = low.add_independent_elimination_fill(start, end)
+            monkeypatch.setattr(native, "try_indep_elim_fill",
+                                lambda *a, **k: None)
+            py_res = low.add_independent_elimination_fill(start, end)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(native_res.ptrs, py_res.ptrs)
+            np.testing.assert_array_equal(native_res.inds, py_res.inds)
+
+
 def test_level_schedule_parity(monkeypatch):
     from baspacho_tpu import BackendType, Settings, create_solver
     for ss, psize in _problems():

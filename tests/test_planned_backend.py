@@ -94,6 +94,43 @@ def test_planned_batched_dense_update_path():
         assert np.max(np.abs(L @ L.T - dense)) < 1e-8
 
 
+def test_dense_w_and_oh_modes_agree():
+    """The scatter-built-W dense mode and the chunked one-hot mode must
+    produce identical factors and solves (they are two mechanisms for the
+    same compact-U update)."""
+    import os
+
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    gen = SparseMatGenerator.gen_flat(120, 0.12, seed=11)
+    ss = gen.to_structure()
+    results = {}
+    for mode in ("w", "oh"):
+        os.environ["BASPACHO_FORCE_DENSE_MODE"] = mode
+        try:
+            solver = create_solver(Settings(backend=BackendType.PLANNED),
+                                   np.full(120, 3), ss)
+            sched = solver.backend._factor_schedule(
+                0, solver.skel.num_lumps)
+            modes = {lev[3]["mode"] for lev in sched if lev[3] is not None}
+            assert modes <= {mode}, f"forced {mode}, got {modes}"
+            data = random_spd_data(solver.data_size, solver.order, 5)
+            data = np.asarray(solver.skel.damp(data, 0.0,
+                                               solver.order * 1.5))
+            f = solver.factor(data)
+            rhs = np.random.RandomState(2).rand(solver.order, 2)
+            x = solver.solve(f, rhs)
+            results[mode] = (np.asarray(f), np.asarray(x))
+        finally:
+            os.environ.pop("BASPACHO_FORCE_DENSE_MODE", None)
+    if "w" not in results or "oh" not in results:
+        return  # problem too small to trigger dense on one mode
+    np.testing.assert_allclose(results["w"][0], results["oh"][0],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(results["w"][1], results["oh"][1],
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_dense_update_run_crossing_diag_below_boundary():
     """Regression: a dense-update row run whose below span is id-consecutive
     with the target's own spans must split at the diag/below storage
@@ -114,7 +151,7 @@ def test_dense_update_run_crossing_diag_below_boundary():
     skel = CoalescedBlockMatrixSkel(span_start, lump_to_span, col_ptr,
                                     row_ind, pad_fn=storage_pad)
     solver = Solver(skel, [], np.arange(4), BackendType.PLANNED)
-    solver.backend.ELEM_NS = 1.0  # force the dense path on a tiny problem
+    solver.backend.ROW_NS = 1.0  # force the dense path on a tiny problem
     sched = solver.backend._factor_schedule(0, skel.num_lumps)
     assert any(lev[3] is not None for lev in sched), "dense path not hit"
 
@@ -162,8 +199,13 @@ def test_dense_outlier_routing():
     sizes = np.array([3] * n_pts + [9] * n_cams)
 
     old_floor = PlannedBackend.SUB_FLOOR
+    old_wmax = PlannedBackend.W_MAX_ELEMS
     PlannedBackend.SUB_FLOOR = 16  # let the adaptive cap bite at this
     #                                small scale
+    PlannedBackend.W_MAX_ELEMS = 0  # force the one-hot dense mode (the
+    #                                 W-scatter mode has no outliers)
+    import os
+    os.environ["BASPACHO_FORCE_ASSEMBLY"] = "dense"
     try:
         solver = create_solver(
             Settings(backend=BackendType.PLANNED,
@@ -173,6 +215,8 @@ def test_dense_outlier_routing():
             0, int(solver.skel.span_to_lump[solver.can_factor_up_to]))
     finally:
         PlannedBackend.SUB_FLOOR = old_floor
+        PlannedBackend.W_MAX_ELEMS = old_wmax
+        os.environ.pop("BASPACHO_FORCE_ASSEMBLY", None)
     has_out = any(lev[3] is not None and lev[3]["outliers"]
                   for lev in sched)
     assert has_out, "no outliers triggered; test structure needs tuning"

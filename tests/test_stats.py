@@ -64,13 +64,20 @@ def test_profile_factor_dense_level_correct():
     (round-2 VERDICT weak #5: dense levels were skipped on replay)."""
     import jax.numpy as jnp
 
+    import os
+
     gen = SparseMatGenerator.gen_flat(40, 0.1, seed=5)
     gen.add_schur_set(400, 0.03)
     ss = gen.to_structure()
-    solver = create_solver(Settings(backend=BackendType.PLANNED),
-                           np.full(440, 2), ss, sparse_elim_ranges=[0, 400])
-    dense_levels = [lev for lev in solver.backend._factor_schedule(
-        0, solver.skel.num_lumps) if lev[3] is not None]
+    os.environ["BASPACHO_FORCE_ASSEMBLY"] = "dense"
+    try:
+        solver = create_solver(Settings(backend=BackendType.PLANNED),
+                               np.full(440, 2), ss,
+                               sparse_elim_ranges=[0, 400])
+        dense_levels = [lev for lev in solver.backend._factor_schedule(
+            0, solver.skel.num_lumps) if lev[3] is not None]
+    finally:
+        os.environ.pop("BASPACHO_FORCE_ASSEMBLY", None)
     assert dense_levels, "test problem must trigger the dense-update path"
     data = random_spd_data(solver.data_size, solver.order, 7)
     data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
