@@ -1063,6 +1063,19 @@ class PlannedBackend:
                     below = below.at[:, :, k + w:].add(-upd)
         return diag, below
 
+    def _factor_panels(self, diag_in, below_in, cp, dtype):
+        """potrf + trsm on batched (B, cp, cp) diagonals with optional
+        (B, rp, cp) below panels; returns (L, x_or_None)."""
+        if cp <= self.BLOCK:
+            L = jax.lax.linalg.cholesky(diag_in, symmetrize_input=False)
+            x = None
+            if below_in is not None:
+                x = jax.lax.linalg.triangular_solve(
+                    L, below_in, left_side=False, lower=True,
+                    transpose_a=True)
+            return L, x
+        return self._blocked_factor(diag_in, below_in, dtype)
+
     def _factor_bucket(self, ext, lb: LumpBucket, want_below=False):
         """Batched potrf + trsm of one bucket; returns (ext, flat_prod) or
         (ext, below_x) when want_below (dense update path)."""
@@ -1070,15 +1083,7 @@ class PlannedBackend:
         pad_eye = self._pad_eye(lb.cols, lb.cp, ext.dtype)
         diag_in = panels[:, :lb.cp] + pad_eye
         below_in = panels[:, lb.cp:] if lb.rp > 0 else None
-        if lb.cp <= self.BLOCK:
-            L = jax.lax.linalg.cholesky(diag_in, symmetrize_input=False)
-            x = None
-            if below_in is not None:
-                x = jax.lax.linalg.triangular_solve(
-                    L, below_in, left_side=False, lower=True,
-                    transpose_a=True)
-        else:
-            L, x = self._blocked_factor(diag_in, below_in, ext.dtype)
+        L, x = self._factor_panels(diag_in, below_in, lb.cp, ext.dtype)
         prod = None
         if x is not None:
             new_panels = jnp.concatenate([L - pad_eye, x], axis=1)
@@ -1339,6 +1344,257 @@ class PlannedBackend:
             ext = self._apply_pairs(ext, flat, pair_buckets,
                                     aux)
         return ext
+
+    # ------------------------------------------------------------------
+    # multi-chip: ONE factorization sharded over a device mesh
+    # ------------------------------------------------------------------
+    # Each level's batched panel work (potrf/trsm — and the level-update
+    # FLOPs: per-origin syge products, partial W W^T, one-hot chunk GEMMs)
+    # splits across mesh devices; per level one all_gather shares the
+    # factored panels (every device holds the full replicated data vector)
+    # and, on dense levels, one psum reduces the compact update U. This
+    # has no reference counterpart (the reference is single-node): it is
+    # the TPU-native frontier — supernode-level model parallelism over
+    # ICI instead of NCCL-free single-GPU batching.
+    SHARD_MIN_B = 2  # buckets with B < n_shards*this run replicated
+
+    def _register_factor_level_sharded(self, level, aux_np, N) -> int:
+        """Register the level's standard aux plus shard descriptors:
+        padded per-bucket geometry, padded w-mode row maps, padded+
+        sentineled oh-mode chunk items."""
+        max_win = self._register_factor_level(level, aux_np)
+        lump_buckets, pair_buckets, ptot, dense = level
+        for bi, lb in enumerate(lump_buckets):
+            B = len(lb.off)
+            if B < N * self.SHARD_MIN_B:
+                lb.shard = None
+                continue
+            Bs = -(-B // N)
+            padn = N * Bs - B
+            # pad with member 0 (real SPD panel: cholesky stays finite;
+            # padded results are trimmed before any write)
+            offp = np.concatenate([lb.off, np.repeat(lb.off[:1], padn)])
+            colsp = np.concatenate([lb.cols, np.repeat(lb.cols[:1], padn)])
+            lb.shard = (Bs, len(aux_np))
+            aux_np.extend([_i32(offp), _i32(colsp)])
+            if dense is not None and dense.get("mode") == "w" and \
+                    bi in dense.get("col_base", {}):
+                rc = dense["row_maps"][bi]
+                rcp = np.concatenate([
+                    rc, np.full((padn, rc.shape[1]), dense["R"],
+                                np.int32)])
+                lb.shard_rc = len(aux_np)
+                aux_np.append(_i32(rcp))
+        if dense is not None and dense.get("mode") == "oh":
+            # chunk items pad to a multiple of N with sentinel chunks
+            # pointing at all-R rows of the (extended) row map — their
+            # one-hot is identically zero, so they contribute nothing
+            dense["gslots_sh"] = {}
+            dense["xpad_sh"] = {}
+            for (bi, nb, subp), items in dense["groups"].items():
+                B = len(lump_buckets[bi].off)
+                padB = dense["pad_b"][bi]
+                xpad = max(padB, B) + nb
+                dense["xpad_sh"][bi] = max(dense["xpad_sh"].get(bi, 0),
+                                           xpad)
+                nc = len(items)
+                ncp = -(-nc // N) * N
+                itp = np.array(items + [(B, 0)] * (ncp - nc),
+                               dtype=np.int32)
+                dense["gslots_sh"][(bi, nb, subp)] = len(aux_np)
+                aux_np.append(itp)
+        return max_win
+
+    def _factor_bucket_sharded(self, ext, lb, axis_name, N, idx, aux,
+                               want_below):
+        """Factor my shard of the bucket's panels, all_gather the
+        results, write the full set back. Returns (ext, x_local,
+        x_full)."""
+        B = len(lb.off)
+        Bs, slot = lb.shard
+        offp, colsp = aux[slot], aux[slot + 1]
+        my_off = jax.lax.dynamic_slice_in_dim(offp, idx * Bs, Bs)
+        my_cols = jax.lax.dynamic_slice_in_dim(colsp, idx * Bs, Bs)
+        h = lb.cp + lb.rp
+        gnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        flat = jax.lax.gather(ext, my_off[:, None], gnums,
+                              slice_sizes=(h * lb.cp,))
+        panels = flat.reshape(Bs, h, lb.cp)
+        pad_eye = self._pad_eye(my_cols, lb.cp, ext.dtype)
+        diag_in = panels[:, :lb.cp] + pad_eye
+        below_in = panels[:, lb.cp:] if lb.rp > 0 else None
+        L, x = self._factor_panels(diag_in, below_in, lb.cp, ext.dtype)
+        newp = jnp.concatenate([L - pad_eye, x], axis=1) \
+            if x is not None else L - pad_eye
+        allp = jax.lax.all_gather(newp, axis_name)
+        full = allp.reshape(N * Bs, h, lb.cp)[:B]
+        ext = self._write_panels(ext, lb, full)
+        x_full = full[:, lb.cp:] if lb.rp > 0 else None
+        return ext, x, x_full
+
+    def _run_factor_level_sharded(self, ext, level, aux, axis_name, N):
+        lump_buckets, pair_buckets, ptot, dense = level
+        idx = jax.lax.axis_index(axis_name)
+        if dense is None:
+            prods = []
+            for lb in lump_buckets:
+                if lb.shard is None:
+                    ext, prod = self._factor_bucket(ext, lb)
+                    if prod is not None:
+                        prods.append(prod)
+                    continue
+                ext, x, _xf = self._factor_bucket_sharded(
+                    ext, lb, axis_name, N, idx, aux, False)
+                if lb.rp > 0:
+                    # per-origin products computed on my shard only
+                    prod_d = jnp.einsum("brk,bsk->brs", x, x,
+                                        preferred_element_type=ext.dtype)
+                    allp = jax.lax.all_gather(prod_d, axis_name)
+                    B = len(lb.off)
+                    prods.append(allp.reshape(
+                        N * x.shape[0], lb.rp, lb.rp)[:B].reshape(-1))
+            if prods:
+                flat = jnp.concatenate(prods) if len(prods) > 1 \
+                    else prods[0]
+                ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+            return ext
+
+        R = dense["R"]
+        xs_local, xs_full, sharded = {}, {}, {}
+        for bi, lb in enumerate(lump_buckets):
+            if lb.shard is None:
+                ext, x = self._factor_bucket(ext, lb, want_below=True)
+                if x is not None:
+                    xs_local[bi] = x
+                    xs_full[bi] = x
+                    sharded[bi] = False
+                continue
+            ext, x, xf = self._factor_bucket_sharded(
+                ext, lb, axis_name, N, idx, aux, True)
+            if lb.rp > 0:
+                xs_local[bi] = x
+                xs_full[bi] = xf
+                sharded[bi] = True
+        upr, ulc, urc = dense["u_pads"]
+        if dense.get("mode") == "w":
+            Kp = dense["Kp"]
+            W = jnp.zeros((R + 1) * Kp, ext.dtype)
+            onshard0 = (idx == 0).astype(ext.dtype)
+            for bi, base in dense["col_base"].items():
+                if bi not in xs_local:
+                    continue
+                lb = lump_buckets[bi]
+                ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb.cp), 2)
+                if sharded[bi]:
+                    Bs = lb.shard[0]
+                    rc = jax.lax.dynamic_slice(
+                        aux[lb.shard_rc], (idx * Bs, 0),
+                        (Bs, aux[lb.shard_rc].shape[1]))
+                    colb = base + (idx * Bs + jnp.arange(
+                        Bs, dtype=jnp.int32)) * lb.cp
+                    x = xs_local[bi]
+                else:
+                    # replicated bucket: contribute on shard 0 only
+                    rc = aux[dense["slots"][bi]]
+                    colb = jnp.asarray(base + np.arange(
+                        len(lb.off), dtype=np.int32) * lb.cp)
+                    x = xs_local[bi] * onshard0
+                flat_idx = jnp.clip(
+                    rc[:, :, None] * Kp + colb[:, None, None] + ci,
+                    0, (R + 1) * Kp - 1)
+                W = W.at[flat_idx].set(x)
+            Wm = W.reshape(R + 1, Kp)[:R]
+            U_core = jnp.einsum("rk,sk->rs", Wm, Wm,
+                                preferred_element_type=ext.dtype)
+            U_core = jax.lax.psum(U_core, axis_name)
+            if (upr, ulc, urc) == (0, 0, 0):
+                U = U_core
+            else:
+                U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
+                U = jax.lax.dynamic_update_slice(U, U_core, (0, ulc))
+        else:
+            # oh mode: chunk scans shard by chunk index; psum the U
+            U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
+            for (bi, nb, subp), _items in dense["groups"].items():
+                lb = lump_buckets[bi]
+                x = xs_full[bi]
+                rows_c = aux[dense["slots"][bi]]
+                xpad = dense["xpad_sh"][bi]
+                if xpad > x.shape[0]:
+                    pn = xpad - x.shape[0]
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pn,) + x.shape[1:], x.dtype)])
+                    rows_c = jnp.concatenate(
+                        [rows_c, jnp.full((pn, rows_c.shape[1]), R,
+                                          jnp.int32)])
+                itp = aux[dense["gslots_sh"][(bi, nb, subp)]]
+                ncp = itp.shape[0]
+                Is = ncp // N
+                my_items = jax.lax.dynamic_slice(
+                    itp, (idx * Is, 0), (Is, 2))
+
+                def chunk_step(U, b0lo, x=x, rows_c=rows_c, nb=nb,
+                               subp=subp):
+                    b0, lo = b0lo[0], b0lo[1]
+                    xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                    rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
+                    ids = lo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, subp), 2)
+                    oh = (rc[:, :, None] == ids).astype(x.dtype)
+                    y = jnp.einsum("bir,bic->brc", oh, xc,
+                                   preferred_element_type=x.dtype)
+                    usub = jnp.einsum("brc,bsc->rs", y, y,
+                                      preferred_element_type=x.dtype)
+                    Uc = jax.lax.dynamic_slice(
+                        U, (lo, ulc + lo), (subp, subp))
+                    return jax.lax.dynamic_update_slice(
+                        U, Uc + usub, (lo, ulc + lo)), None
+
+                U, _ = jax.lax.scan(chunk_step, U, my_items)
+            U = jax.lax.psum(U, axis_name)
+        ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
+        if pair_buckets:  # outlier origins (oh mode): replicated
+            prods = []
+            for bi, idxs, _bidx in dense["out_groups"]:
+                xo = xs_full[bi][jnp.asarray(idxs)]
+                prods.append(jnp.einsum(
+                    "brk,bsk->brs", xo, xo,
+                    preferred_element_type=ext.dtype).reshape(-1))
+            flat = jnp.concatenate(prods) if len(prods) > 1 else prods[0]
+            ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+        return ext
+
+    def make_factor_sharded(self, start_lump: int, end_lump: int,
+                            axis_name: str, n_shards: int):
+        """Factor function to run INSIDE shard_map over a 1-D mesh axis:
+        `data` replicated in, replicated factor out."""
+        sched = self._factor_schedule(start_lump, end_lump)
+        sk = self.plan.skel
+        dsize = sk.data_size
+        mask = sk.padding_mask()
+        need_mask = bool(np.any(mask == 0))
+        aux_np = []
+        mask_slot = None
+        if need_mask:
+            mask_slot = len(aux_np)
+            aux_np.append(mask)
+        max_win = 2
+        for level in sched:
+            max_win = max(max_win, self._register_factor_level_sharded(
+                level, aux_np, n_shards))
+
+        def factor(data, aux):
+            if need_mask:
+                data = data * aux[mask_slot].astype(data.dtype)
+            ext = jnp.concatenate([data, jnp.zeros(max_win, data.dtype)])
+            for level in sched:
+                ext = self._run_factor_level_sharded(
+                    ext, level, aux, axis_name, n_shards)
+            return ext[:dsize]
+
+        return factor, aux_np
 
     # -- solve ----------------------------------------------------------
     def _bucket_xidx(self, sb: LumpBucket, order):

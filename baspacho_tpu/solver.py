@@ -265,6 +265,49 @@ class Solver:
             "factor", self.backend.make_factor, data,
             self._lump_of_span(span_index), self.skel.num_lumps)
 
+    def factor_sharded(self, data, mesh):
+        """Factor ONE matrix with every level's panel work (potrf/trsm
+        and the level-update FLOPs) sharded across the devices of a 1-D
+        `jax.sharding.Mesh`. Per level: one all_gather of the factored
+        panels + (dense levels) one psum of the compact update — model
+        parallelism over the supernode batch, riding ICI. No reference
+        analog (the reference is single-node); complements the batched
+        data-parallel path (vmap + sharded leading axis).
+
+        Requires the planned backend. Returns the same factor as
+        `factor(data)` up to float reduction order."""
+        assert hasattr(self.backend, "make_factor_sharded"), \
+            "factor_sharded needs the PLANNED backend"
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        axis = mesh.axis_names[0]
+        n = int(mesh.shape[axis])
+        data = jnp.asarray(data)
+        self._check_data(data)
+        assert data.ndim == 1, "factor_sharded shards ONE factorization"
+        key = ("factorSharded", axis, n)
+        entry = self._fns.get(key)
+        if entry is None:
+            fn, aux = self.backend.make_factor_sharded(
+                0, self.skel.num_lumps, axis, n)
+            aux = tuple(jnp.asarray(a) for a in aux)
+            wrapped = with_matmul_precision(fn, self.matmul_precision)
+            try:
+                smapped = shard_map(wrapped, mesh=mesh,
+                                    in_specs=(P(), P()), out_specs=P(),
+                                    check_vma=False)
+            except TypeError:  # older jax spelling
+                smapped = shard_map(wrapped, mesh,
+                                    in_specs=(P(), P()), out_specs=P(),
+                                    check_rep=False)
+            entry = (jax.jit(smapped), aux)
+            self._fns[key] = entry
+        fn, aux = entry
+        return self._timed(self.stats.factor, fn(data, aux))
+
     # -- solve ----------------------------------------------------------
     def solve(self, mat_data, rhs):
         n = self.skel.num_lumps

@@ -76,3 +76,52 @@ def test_graft_dryrun_impl_runs_inline():
     """The dryrun body itself must execute on this 8-device CPU mesh."""
     import __graft_entry__ as g
     g._dryrun_impl(8)
+
+
+def _sharded_case(gen, psize, elim=()):
+    ss = gen.to_structure()
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           np.asarray(psize), ss,
+                           sparse_elim_ranges=list(elim))
+    data = np.asarray(random_spd_data(solver.data_size, solver.order, 5))
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    return solver, data
+
+
+@pytest.mark.parametrize("case", ["flat_w", "schur_oh", "grid_pairs"])
+def test_single_factor_sharded_over_mesh(case):
+    """ONE factorization sharded across 8 devices (per-level panel work
+    split, all_gather + psum coupling) must match the single-device
+    factor to reduction-order tolerance. Covers all three level-update
+    mechanisms: scatter-built W, chunked one-hot, block pairs."""
+    assert len(jax.devices()) >= 8
+    import os
+    if case == "flat_w":
+        solver, data = _sharded_case(
+            SparseMatGenerator.gen_flat(150, 0.1, seed=4), np.full(150, 3))
+    elif case == "schur_oh":
+        gen = SparseMatGenerator.gen_flat(40, 0.1, seed=6)
+        gen.add_schur_set(500, 0.03)
+        os.environ["BASPACHO_FORCE_DENSE_MODE"] = "oh"
+        try:
+            solver, data = _sharded_case(gen, np.full(540, 2),
+                                         elim=[0, 500])
+        finally:
+            os.environ.pop("BASPACHO_FORCE_DENSE_MODE", None)
+    else:  # grid: pairs-mode levels
+        os.environ["BASPACHO_FORCE_ASSEMBLY"] = "pairs"
+        try:
+            solver, data = _sharded_case(
+                SparseMatGenerator.gen_grid(10, 10, 0.3, seed=7),
+                np.full(100, 3))
+        finally:
+            os.environ.pop("BASPACHO_FORCE_ASSEMBLY", None)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("shard",))
+    f_sh = np.asarray(solver.factor_sharded(data, mesh))
+    f_ref = np.asarray(solver.factor(data))
+    np.testing.assert_allclose(f_sh, f_ref, rtol=1e-9, atol=1e-11)
+    # numerics: L L^T == damped input
+    L = np.tril(solver.skel.densify(f_sh))
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    assert np.max(np.abs(L @ L.T - dense)) / np.abs(dense).max() < 1e-9
