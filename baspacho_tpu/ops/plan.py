@@ -149,21 +149,26 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
     n_diag = sk.lump_to_span[1:] - sk.lump_to_span[:-1]
 
     # global expansion of all below-diagonal chain rows (RHS positions),
-    # with per-lump extents — each LumpDesc gets a view
-    chain_lump = np.repeat(np.arange(num_lumps, dtype=np.int64),
+    # with per-lump extents — each LumpDesc gets a view. int32
+    # throughout: these are the largest symbolic-analysis temporaries
+    # (tens of millions of entries at BAL scale) and allocation
+    # first-touch is the dominant cost on sandboxed kernels.
+    chain_lump = np.repeat(np.arange(num_lumps, dtype=np.int32),
                            ce_arr - cs_arr)
-    chain_pos = np.arange(len(sk.chain_row_span)) - cs_arr[chain_lump]
-    below_chain = chain_pos >= n_diag[chain_lump]
+    chain_pos = np.arange(len(sk.chain_row_span),
+                          dtype=np.int32) - cs_arr.astype(np.int32)[chain_lump]
+    below_chain = chain_pos >= n_diag.astype(np.int32)[chain_lump]
     b_spans = sk.chain_row_span[below_chain]
     b_lump = chain_lump[below_chain]
-    b_sizes = span_size[b_spans]
-    b_starts = span_start[b_spans]
+    b_sizes = span_size.astype(np.int32)[b_spans]
+    b_starts = span_start.astype(np.int32)[b_spans]
     tot = int(b_sizes.sum())
-    ex_cum = np.concatenate([[0], np.cumsum(b_sizes)[:-1]]) \
-        if len(b_sizes) else np.empty(0, np.int64)
+    ex_cum = np.concatenate(
+        [np.zeros(1, np.int32), np.cumsum(b_sizes, dtype=np.int32)[:-1]]) \
+        if len(b_sizes) else np.empty(0, np.int32)
     global_rows = (np.repeat(b_starts - ex_cum, b_sizes) +
-                   np.arange(tot, dtype=np.int64)) \
-        if tot else np.empty(0, np.int64)
+                   np.arange(tot, dtype=np.int32)) \
+        if tot else np.empty(0, np.int32)
     lump_row_counts = np.bincount(b_lump, weights=b_sizes,
                                   minlength=num_lumps).astype(np.int64)
     lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
