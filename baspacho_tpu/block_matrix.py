@@ -63,6 +63,13 @@ class CoalescedBlockMatrixSkel:
         self.span_start = span_start
         self.lump_to_span = lump_to_span
 
+        from . import native
+        nat = native.try_skel_build(span_start, lump_to_span, col_ptr,
+                                    row_ind)
+        if nat is not None:
+            self._init_from_native(nat, col_ptr, row_ind, pad_fn)
+            return
+
         span_to_lump = np.empty(num_spans + 1, dtype=np.int64)
         span_counts = lump_to_span[1:] - lump_to_span[:-1]
         span_to_lump[:num_spans] = np.repeat(
@@ -183,6 +190,47 @@ class CoalescedBlockMatrixSkel:
         self.board_row_ptr = cum_sum_vec(np.bincount(b_rows, minlength=num_lumps))
         self.board_col_lump = b_cols[order_]
         self.board_col_ord = b_ords[order_]
+
+    def _init_from_native(self, nat, col_ptr, row_ind, pad_fn):
+        """Finish construction from the C++ phase-1 arrays
+        (native/symbolic.cpp bs_skel_build): apply the padding policy,
+        compute panel geometry, and fetch chain offsets (phase 2)."""
+        from . import native
+        self.span_to_lump = nat["span_to_lump"]
+        self.lump_start = nat["lump_start"]
+        self.span_offset_in_lump = nat["span_offset_in_lump"]
+        self.chain_col_ptr = col_ptr.copy()
+        self.chain_row_span = row_ind.copy()
+        self.chain_rows_till_end = nat["chain_rows_till_end"]
+        self.board_col_ptr = nat["board_col_ptr"]
+        self.board_row_lump = nat["board_row_lump"]
+        self.board_chain_col_ord = nat["board_chain_col_ord"]
+        self.board_row_ptr = nat["board_row_ptr"]
+        self.board_col_lump = nat["board_col_lump"]
+        self.board_col_ord = nat["board_col_ord"]
+
+        lump_size = self.lump_start[1:] - self.lump_start[:-1]
+        below_rows = nat["below_rows"]
+        if pad_fn is None:
+            col_stride = lump_size.copy()
+            padded_below = below_rows.copy()
+        else:
+            padded_below, col_stride = pad_fn(below_rows, lump_size)
+            padded_below = np.asarray(padded_below, dtype=np.int64)
+            col_stride = np.asarray(col_stride, dtype=np.int64)
+            assert np.all(col_stride >= lump_size)
+            assert np.all(padded_below >= below_rows)
+        self.col_stride = col_stride
+        self.padded_below = padded_below
+        self.below_rows = below_rows
+        panel_len = (col_stride + padded_below) * col_stride
+        panel_base = np.zeros(len(lump_size) + 1, dtype=np.int64)
+        np.cumsum(panel_len, out=panel_base[1:])
+        self.panel_base = panel_base
+        self.chain_data = native.try_skel_chain_data(
+            self.span_start, self.lump_start, col_ptr, row_ind,
+            self.chain_rows_till_end, col_stride, panel_base)
+        assert self.chain_data is not None
 
     # ------------------------------------------------------------------
     @property

@@ -84,6 +84,19 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_level_schedule.restype = ctypes.c_int
     lib.bs_level_schedule.argtypes = [ctypes.c_int64, i64p, i64p,
                                       ctypes.c_int64, i64p]
+    lib.bs_pairs_to_csr.restype = ctypes.c_int64
+    lib.bs_pairs_to_csr.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                    i64p, ctypes.c_int64, ctypes.c_int64,
+                                    i64p, i64p]
+    lib.bs_sym_perm.restype = ctypes.c_int64
+    lib.bs_sym_perm.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+    lib.bs_transpose.restype = ctypes.c_int
+    lib.bs_transpose.argtypes = [ctypes.c_int64, i64p, i64p, i64p, i64p]
+    lib.bs_skel_build.restype = ctypes.c_int64
+    lib.bs_skel_build.argtypes = [ctypes.c_int64, ctypes.c_int64] + [i64p] * 15
+    lib.bs_skel_chain_data.restype = ctypes.c_int
+    lib.bs_skel_chain_data.argtypes = [ctypes.c_int64] + [i64p] * 8
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.bs_compute_merges.restype = ctypes.c_int64
     lib.bs_compute_merges.argtypes = [
@@ -156,6 +169,127 @@ def try_indep_elim_fill(ptrs: np.ndarray, inds: np.ndarray, start: int,
     if rc != 0:
         return None
     return out_ptrs, out_inds
+
+
+def try_pairs_to_csr(rows, cols, order, dedup, sort_cols):
+    """CSR from (row, col) pairs via C++ radix passes; returns
+    (ptrs, inds) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    nnz = len(rows)
+    out_ptrs = np.empty(order + 1, np.int64)
+    out_inds = np.empty(nnz, np.int64)
+    m = lib.bs_pairs_to_csr(order, nnz, _as_i64p(rows), _as_i64p(cols),
+                            1 if dedup else 0, 1 if sort_cols else 0,
+                            _as_i64p(out_ptrs), _as_i64p(out_inds))
+    if m < 0:
+        return None
+    return out_ptrs, out_inds[:m]
+
+
+def try_sym_perm(ptrs, inds, map_perm, lower_half, sort_cols):
+    """Symmetric permutation in C++; returns (ptrs, inds) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    map_perm = np.ascontiguousarray(map_perm, dtype=np.int64)
+    order = len(ptrs) - 1
+    out_ptrs = np.empty(order + 1, np.int64)
+    out_inds = np.empty(len(inds), np.int64)
+    m = lib.bs_sym_perm(order, _as_i64p(ptrs), _as_i64p(inds),
+                        _as_i64p(map_perm), 1 if lower_half else 0,
+                        1 if sort_cols else 0, _as_i64p(out_ptrs),
+                        _as_i64p(out_inds))
+    if m < 0:
+        return None
+    return out_ptrs, out_inds[:m]
+
+
+def try_transpose(ptrs, inds):
+    """CSR transpose (per-row sorted) in C++; returns (ptrs, inds) or
+    None."""
+    lib = _load()
+    if lib is None:
+        return None
+    ptrs = np.ascontiguousarray(ptrs, dtype=np.int64)
+    inds = np.ascontiguousarray(inds, dtype=np.int64)
+    order = len(ptrs) - 1
+    out_ptrs = np.empty(order + 1, np.int64)
+    out_inds = np.empty(len(inds), np.int64)
+    rc = lib.bs_transpose(order, _as_i64p(ptrs), _as_i64p(inds),
+                          _as_i64p(out_ptrs), _as_i64p(out_inds))
+    if rc != 0:
+        return None
+    return out_ptrs, out_inds
+
+
+def try_skel_build(span_start, lump_to_span, col_ptr, row_ind):
+    """Phase-1 skeleton construction (padding-independent arrays + both
+    board orderings). Returns a dict of arrays or None; raises
+    AssertionError on invalid structure (mirroring the Python
+    constructor's validation)."""
+    lib = _load()
+    if lib is None:
+        return None
+    num_spans = len(span_start) - 1
+    num_lumps = len(lump_to_span) - 1
+    nchains = len(row_ind)
+    span_start = np.ascontiguousarray(span_start, dtype=np.int64)
+    lump_to_span = np.ascontiguousarray(lump_to_span, dtype=np.int64)
+    col_ptr = np.ascontiguousarray(col_ptr, dtype=np.int64)
+    row_ind = np.ascontiguousarray(row_ind, dtype=np.int64)
+    out = {
+        "span_to_lump": np.empty(num_spans + 1, np.int64),
+        "lump_start": np.empty(num_lumps + 1, np.int64),
+        "span_offset_in_lump": np.empty(num_spans + 1, np.int64),
+        "chain_rows_till_end": np.empty(nchains, np.int64),
+        "below_rows": np.empty(num_lumps, np.int64),
+        "board_col_ptr": np.empty(num_lumps + 1, np.int64),
+        "board_row_lump": np.empty(nchains + num_lumps, np.int64),
+        "board_chain_col_ord": np.empty(nchains + num_lumps, np.int64),
+        "board_row_ptr": np.empty(num_lumps + 1, np.int64),
+        "board_col_lump": np.empty(nchains, np.int64),
+        "board_col_ord": np.empty(nchains, np.int64),
+    }
+    nboards = lib.bs_skel_build(
+        num_spans, num_lumps, _as_i64p(span_start), _as_i64p(lump_to_span),
+        _as_i64p(col_ptr), _as_i64p(row_ind),
+        _as_i64p(out["span_to_lump"]), _as_i64p(out["lump_start"]),
+        _as_i64p(out["span_offset_in_lump"]),
+        _as_i64p(out["chain_rows_till_end"]), _as_i64p(out["below_rows"]),
+        _as_i64p(out["board_col_ptr"]), _as_i64p(out["board_row_lump"]),
+        _as_i64p(out["board_chain_col_ord"]), _as_i64p(out["board_row_ptr"]),
+        _as_i64p(out["board_col_lump"]), _as_i64p(out["board_col_ord"]))
+    assert nboards >= 0, "invalid block structure"
+    nreal = nboards - num_lumps
+    out["board_row_lump"] = out["board_row_lump"][:nboards]
+    out["board_chain_col_ord"] = out["board_chain_col_ord"][:nboards]
+    out["board_col_lump"] = out["board_col_lump"][:nreal]
+    out["board_col_ord"] = out["board_col_ord"][:nreal]
+    return out
+
+
+def try_skel_chain_data(span_start, lump_start, col_ptr, row_ind,
+                        chain_rows_till_end, col_stride, panel_base):
+    """Phase-2 skeleton construction: per-chain flat data offsets."""
+    lib = _load()
+    if lib is None:
+        return None
+    num_lumps = len(col_ptr) - 1
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (span_start, lump_start, col_ptr, row_ind,
+                      chain_rows_till_end, col_stride, panel_base)]
+    chain_data = np.empty(len(row_ind) + 1, np.int64)
+    rc = lib.bs_skel_chain_data(num_lumps, *(_as_i64p(a) for a in args),
+                                _as_i64p(chain_data))
+    if rc != 0:
+        return None
+    return chain_data
 
 
 def try_compute_merges(csc_ptrs, csc_rows, psize, parent, node_size,

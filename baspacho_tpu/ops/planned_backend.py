@@ -43,14 +43,19 @@ from .plan import NumericPlan
 
 
 def pad_dim(x: int, floor: int = 1) -> int:
-    """Next power of two (with a floor) — coarse padding keeps bucket
-    count low, which keeps the XLA graph small; the flop waste is bounded
-    and in practice small since supernode sizes cluster. Floors (8 for
-    panel rows, 4 for block dims) collapse the long tail of tiny shapes
-    into single buckets."""
+    """Bucket-shape padding: next power of two (with a floor) up to 512,
+    then next multiple of 512. Coarse pow2 padding keeps bucket count low
+    for the long tail of small shapes — which keeps the XLA graph small —
+    while the 512-multiple regime caps the waste on large panels (pow2
+    would pad a 2754-wide supernode to 4096: +77% area, +2.5x cholesky
+    flops; 512-multiples cap the linear overhead at <19%). Floors (8 for
+    panel rows, 4 for block dims) collapse tiny shapes into single
+    buckets."""
     if x <= floor:
         return floor
-    return int(2 ** int(np.ceil(np.log2(x))))
+    if x <= 512:
+        return int(2 ** int(np.ceil(np.log2(x))))
+    return ((x + 511) // 512) * 512
 
 
 PAD_ROWS = 8    # floor for below-diag panel rows
@@ -71,13 +76,19 @@ def _i32(a) -> np.ndarray:
 
 
 def _pad_pow2(x: np.ndarray, floor: int) -> np.ndarray:
-    """Vectorized pad_dim."""
+    """Vectorized pad_dim (pow2 up to 512, then 512-multiples)."""
     x = np.maximum(np.asarray(x, dtype=np.int64), floor)
-    return np.int64(1) << np.ceil(np.log2(x)).astype(np.int64)
+    p2 = np.int64(1) << np.ceil(np.log2(x)).astype(np.int64)
+    return np.where(x <= 512, p2, (x + 511) // 512 * 512)
 
 
 def _ceil_pow2(x: int) -> int:
-    return 1 if x <= 1 else int(2 ** int(np.ceil(np.log2(x))))
+    """Scalar pad_dim (pow2 up to 512, then 512-multiples)."""
+    if x <= 1:
+        return 1
+    if x <= 512:
+        return int(2 ** int(np.ceil(np.log2(x))))
+    return (x + 511) // 512 * 512
 
 
 @dataclass

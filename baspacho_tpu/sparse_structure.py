@@ -29,6 +29,10 @@ def _csr_from_pairs(rows: np.ndarray, cols: np.ndarray, order: int,
     """Build CSR structure from (row, col) index pairs via counting sort."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    from . import native
+    fast = native.try_pairs_to_csr(rows, cols, order, dedup, sort or dedup)
+    if fast is not None:
+        return SparseStructure(fast[0], fast[1])
     if dedup or sort:
         key = rows * np.int64(order) + cols
         if dedup:
@@ -73,6 +77,10 @@ class SparseStructure:
 
     def transpose(self) -> "SparseStructure":
         """Swap rows and columns; output rows are in input-row order (stable)."""
+        from . import native
+        fast = native.try_transpose(self.ptrs, self.inds)
+        if fast is not None:
+            return SparseStructure(fast[0], fast[1])
         rows = self.expanded_rows()
         # stable counting sort by column gives transposed rows sorted per row
         perm = np.argsort(self.inds, kind="stable")
@@ -95,6 +103,11 @@ class SparseStructure:
         half (row>=col if lower_half). Assumes only one half is stored."""
         map_perm = np.asarray(map_perm, dtype=np.int64)
         assert len(map_perm) == self.order
+        from . import native
+        fast = native.try_sym_perm(self.ptrs, self.inds, map_perm,
+                                   lower_half, sort_indices)
+        if fast is not None:
+            return SparseStructure(fast[0], fast[1])
         new_r = map_perm[self.expanded_rows()]
         new_c = map_perm[self.inds]
         if lower_half:

@@ -393,6 +393,209 @@ int bs_level_schedule(i64 n, const i64* board_row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// CSR construction from (row, col) pairs via stable LSD radix sort —
+// two O(nnz) counting passes (by col, then by row) replace numpy's
+// O(nnz log nnz) lexsort/unique in SparseStructure._csr_from_pairs.
+// dedup=1 drops duplicate (row, col) pairs after sorting; sort_cols=0
+// groups by row only (stable, preserving within-row input order).
+// Returns the output entry count.
+// ---------------------------------------------------------------------------
+static void radix_pass(i64 n, i64 nbuckets, const i64* key, const i64* in_idx,
+                       i64* out_idx, vector<i64>& cnt) {
+  cnt.assign(nbuckets + 1, 0);
+  if (in_idx) {
+    for (i64 i = 0; i < n; i++) cnt[key[in_idx[i]] + 1]++;
+    for (i64 b = 0; b < nbuckets; b++) cnt[b + 1] += cnt[b];
+    for (i64 i = 0; i < n; i++) out_idx[cnt[key[in_idx[i]]]++] = in_idx[i];
+  } else {
+    for (i64 i = 0; i < n; i++) cnt[key[i] + 1]++;
+    for (i64 b = 0; b < nbuckets; b++) cnt[b + 1] += cnt[b];
+    for (i64 i = 0; i < n; i++) out_idx[cnt[key[i]]++] = i;
+  }
+}
+
+static i64 pairs_to_csr(i64 order, i64 nnz, const i64* rows, const i64* cols,
+                        int dedup, int sort_cols, i64* out_ptrs,
+                        i64* out_inds) {
+  vector<i64> a(nnz), b(nnz), cnt;
+  i64* perm = a.data();
+  if (sort_cols) {
+    radix_pass(nnz, order, cols, nullptr, b.data(), cnt);
+    radix_pass(nnz, order, rows, b.data(), a.data(), cnt);
+  } else {
+    radix_pass(nnz, order, rows, nullptr, a.data(), cnt);
+  }
+  i64 m = 0;
+  i64 prev_r = -1, prev_c = -1;
+  std::fill(out_ptrs, out_ptrs + order + 1, 0);
+  for (i64 i = 0; i < nnz; i++) {
+    i64 r = rows[perm[i]], c = cols[perm[i]];
+    if (dedup && r == prev_r && c == prev_c) continue;
+    out_inds[m++] = c;
+    out_ptrs[r + 1]++;
+    prev_r = r;
+    prev_c = c;
+  }
+  for (i64 k = 0; k < order; k++) out_ptrs[k + 1] += out_ptrs[k];
+  return m;
+}
+
+i64 bs_pairs_to_csr(i64 order, i64 nnz, const i64* rows, const i64* cols,
+                    i64 dedup, i64 sort_cols, i64* out_ptrs, i64* out_inds) {
+  return pairs_to_csr(order, nnz, rows, cols, (int)dedup, (int)sort_cols,
+                      out_ptrs, out_inds);
+}
+
+// symmetric permutation: relabel through map_perm, fold into the requested
+// half, rebuild CSR (SparseStructure::symmetricPermutation counterpart).
+i64 bs_sym_perm(i64 order, const i64* ptrs, const i64* inds,
+                const i64* map_perm, i64 lower_half, i64 sort_cols,
+                i64* out_ptrs, i64* out_inds) {
+  i64 nnz = ptrs[order];
+  vector<i64> rows(nnz), cols(nnz);
+  for (i64 r = 0; r < order; r++) {
+    i64 nr = map_perm[r];
+    for (i64 q = ptrs[r]; q < ptrs[r + 1]; q++) {
+      i64 nc = map_perm[inds[q]];
+      i64 hi = nr > nc ? nr : nc, lo = nr > nc ? nc : nr;
+      if (lower_half) {
+        rows[q] = hi;
+        cols[q] = lo;
+      } else {
+        rows[q] = lo;
+        cols[q] = hi;
+      }
+    }
+  }
+  return pairs_to_csr(order, nnz, rows.data(), cols.data(), 0,
+                      (int)sort_cols, out_ptrs, out_inds);
+}
+
+// transpose with per-row sorted output (counting sort by column).
+int bs_transpose(i64 order, const i64* ptrs, const i64* inds, i64* out_ptrs,
+                 i64* out_inds) {
+  i64 nnz = ptrs[order];
+  std::fill(out_ptrs, out_ptrs + order + 1, 0);
+  for (i64 q = 0; q < nnz; q++) out_ptrs[inds[q] + 1]++;
+  for (i64 k = 0; k < order; k++) out_ptrs[k + 1] += out_ptrs[k];
+  vector<i64> cur(out_ptrs, out_ptrs + order);
+  for (i64 r = 0; r < order; r++)
+    for (i64 q = ptrs[r]; q < ptrs[r + 1]; q++) out_inds[cur[inds[q]]++] = r;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// coalesced block-matrix skeleton construction (CoalescedBlockMatrixSkel
+// counterpart of the reference CoalescedBlockMatrix.cpp:17-122) — a dozen
+// O(nnz) passes that cost seconds as numpy fancy-indexing at BAL scale.
+//
+// Phase 1 (padding-independent): span/lump maps, per-chain cumulative
+// rows, per-column below rows, and both board orderings. Board arrays
+// must be allocated with nchains + num_lumps (col-ordered, incl. one
+// sentinel per column) / nchains (row-ordered) entries; returns the
+// total number of boards (runs + sentinels), or -1 on invalid input
+// (the Python constructor's validation asserts).
+// ---------------------------------------------------------------------------
+i64 bs_skel_build(i64 num_spans, i64 num_lumps, const i64* span_start,
+                  const i64* lump_to_span, const i64* col_ptr,
+                  const i64* row_ind, i64* span_to_lump, i64* lump_start,
+                  i64* span_offset_in_lump, i64* chain_rows_till_end,
+                  i64* below_rows, i64* board_col_ptr, i64* board_row_lump,
+                  i64* board_chain_col_ord, i64* board_row_ptr,
+                  i64* board_col_lump, i64* board_col_ord) {
+  i64 tot_size = span_start[num_spans];
+  for (i64 l = 0; l < num_lumps; l++)
+    for (i64 s = lump_to_span[l]; s < lump_to_span[l + 1]; s++)
+      span_to_lump[s] = l;
+  span_to_lump[num_spans] = num_lumps;
+  for (i64 l = 0; l < num_lumps; l++)
+    lump_start[l] = span_start[lump_to_span[l]];
+  lump_start[num_lumps] = tot_size;
+  for (i64 s = 0; s < num_spans; s++)
+    span_offset_in_lump[s] = span_start[s] - lump_start[span_to_lump[s]];
+  span_offset_in_lump[num_spans] = 0;
+
+  // first pass: validate, chain cumulative rows, below rows, board counts
+  vector<i64> row_count(num_lumps, 0);  // boards per row lump (no sentinels)
+  i64 nruns = 0;
+  for (i64 l = 0; l < num_lumps; l++) {
+    i64 c0 = col_ptr[l], c1 = col_ptr[l + 1];
+    i64 s0 = lump_to_span[l], s1 = lump_to_span[l + 1];
+    i64 nd = s1 - s0;
+    if (c1 - c0 < nd) return -1;
+    for (i64 j = 0; j < nd; j++)
+      if (row_ind[c0 + j] != s0 + j) return -1;
+    i64 rows = 0, prev = -1, prev_rl = -1;
+    for (i64 c = c0; c < c1; c++) {
+      i64 s = row_ind[c];
+      if (s <= prev || s >= num_spans) return -1;
+      prev = s;
+      rows += span_start[s + 1] - span_start[s];
+      chain_rows_till_end[c] = rows;
+      i64 rl = span_to_lump[s];
+      if (rl != prev_rl) {
+        row_count[rl]++;
+        nruns++;
+        prev_rl = rl;
+      }
+    }
+    below_rows[l] = rows - (lump_start[l + 1] - lump_start[l]);
+  }
+  // second pass: column-ordered boards (+ per-column sentinel) and
+  // row-ordered boards via counting sort (stable in column order)
+  board_row_ptr[0] = 0;
+  for (i64 l = 0; l < num_lumps; l++)
+    board_row_ptr[l + 1] = board_row_ptr[l] + row_count[l];
+  vector<i64> cursor(board_row_ptr, board_row_ptr + num_lumps);
+  i64 bpos = 0;
+  for (i64 l = 0; l < num_lumps; l++) {
+    board_col_ptr[l] = bpos;
+    i64 c0 = col_ptr[l], c1 = col_ptr[l + 1];
+    i64 prev_rl = -1, ord = 0;
+    for (i64 c = c0; c < c1; c++) {
+      i64 rl = span_to_lump[row_ind[c]];
+      if (rl != prev_rl) {
+        board_row_lump[bpos] = rl;
+        board_chain_col_ord[bpos] = c - c0;
+        i64 q = cursor[rl]++;
+        board_col_lump[q] = l;
+        board_col_ord[q] = ord;
+        bpos++;
+        ord++;
+        prev_rl = rl;
+      }
+    }
+    board_row_lump[bpos] = -1;  // sentinel
+    board_chain_col_ord[bpos] = c1 - c0;
+    bpos++;
+  }
+  board_col_ptr[num_lumps] = bpos;
+  return bpos;
+}
+
+// Phase 2: per-chain flat data offsets given the padded panel geometry
+// (panel_base, col_stride come from the Python-side pad policy).
+int bs_skel_chain_data(i64 num_lumps, const i64* span_start,
+                       const i64* lump_start, const i64* col_ptr,
+                       const i64* row_ind, const i64* chain_rows_till_end,
+                       const i64* col_stride, const i64* panel_base,
+                       i64* chain_data) {
+  for (i64 l = 0; l < num_lumps; l++) {
+    i64 base = panel_base[l], st = col_stride[l];
+    i64 w = lump_start[l + 1] - lump_start[l];
+    for (i64 c = col_ptr[l]; c < col_ptr[l + 1]; c++) {
+      i64 s = row_ind[c];
+      i64 row_start = chain_rows_till_end[c] -
+                      (span_start[s + 1] - span_start[s]);
+      i64 prow = row_start < w ? row_start : st + row_start - w;
+      chain_data[c] = base + prow * st;
+    }
+  }
+  chain_data[col_ptr[num_lumps]] = panel_base[num_lumps];
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // greedy cost-model supernode merging (the hot loop of EliminationTree's
 // processTree; ~1e6 cost evaluations, dominated symbolic time in Python).
 // Mirrors elimination_tree.py::compute_merges exactly, including heap

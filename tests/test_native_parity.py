@@ -123,3 +123,64 @@ def test_amd_both_paths_valid(monkeypatch):
         monkeypatch.undo()
         for p in (p_native, p_py):
             assert sorted(p.tolist()) == list(range(low.order))
+
+
+def test_skel_build_parity(monkeypatch):
+    """The C++ skeleton constructor (bs_skel_build/bs_skel_chain_data)
+    must produce bit-identical arrays to the vectorized numpy path, for
+    both the packed (pad_fn=None) and the TPU padded layout."""
+    from baspacho_tpu import BackendType, Settings, create_solver
+    from baspacho_tpu.block_matrix import CoalescedBlockMatrixSkel
+    from baspacho_tpu.ops.planned_backend import storage_pad
+
+    fields = ("span_to_lump", "lump_start", "span_offset_in_lump",
+              "chain_rows_till_end", "below_rows", "board_col_ptr",
+              "board_row_lump", "board_chain_col_ord", "board_row_ptr",
+              "board_col_lump", "board_col_ord", "col_stride",
+              "padded_below", "panel_base", "chain_data")
+    for ss, psize in _problems():
+        solver = create_solver(Settings(backend=BackendType.REF),
+                               psize, ss)
+        sk = solver.skel
+        args = (sk.span_start, sk.lump_to_span, sk.chain_col_ptr,
+                sk.chain_row_span)
+        for pad_fn in (None, storage_pad):
+            nat = CoalescedBlockMatrixSkel(*args, pad_fn=pad_fn)
+            monkeypatch.setattr(native, "try_skel_build",
+                                lambda *a, **k: None)
+            py = CoalescedBlockMatrixSkel(*args, pad_fn=pad_fn)
+            monkeypatch.undo()
+            for f in fields:
+                np.testing.assert_array_equal(
+                    getattr(nat, f), getattr(py, f), err_msg=f)
+
+
+def test_structure_ops_parity(monkeypatch):
+    """bs_pairs_to_csr / bs_sym_perm / bs_transpose must be bit-identical
+    to the numpy paths (counting sorts are stable in both)."""
+    rng = np.random.RandomState(5)
+    for ss, _ in _problems():
+        low = _lower_csr(ss)
+        perm = rng.permutation(low.order).astype(np.int64)
+        results = []
+        for force_py in (False, True):
+            if force_py:
+                monkeypatch.setattr(native, "try_pairs_to_csr",
+                                    lambda *a, **k: None)
+                monkeypatch.setattr(native, "try_sym_perm",
+                                    lambda *a, **k: None)
+                monkeypatch.setattr(native, "try_transpose",
+                                    lambda *a, **k: None)
+            t = low.transpose()
+            sp = low.symmetric_permutation(perm, lower_half=True,
+                                           sort_indices=True)
+            spu = low.symmetric_permutation(perm, lower_half=False,
+                                            sort_indices=True)
+            srt = low.sort_indices()
+            rb = sp.extract_right_bottom(low.order // 3)
+            if force_py:
+                monkeypatch.undo()
+            results.append((t, sp, spu, srt, rb))
+        for a, b in zip(results[0], results[1]):
+            np.testing.assert_array_equal(a.ptrs, b.ptrs)
+            np.testing.assert_array_equal(a.inds, b.inds)
