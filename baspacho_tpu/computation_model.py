@@ -100,8 +100,22 @@ class ComputationModel:
 # hardware reality the merge heuristic must know about: op *launch* overhead
 # dominates until supernodes are large (the MXU is idle on tiny blocks), so
 # constants are relatively large and cubic terms relatively small — pushing
-# the heuristic to merge more aggressively than a CPU model would. Fitted
-# with tools/fit_computation_model.py on v5e timings.
+# the heuristic to merge more aggressively than a CPU model would.
+#
+# Provenance (honest): the constants are hand-estimated from aggregate v5e
+# measurements (MXU f32-highest ~2e13 flop/s, ~2-8 us per-op overhead),
+# sanity-anchored against measured whole-factor times — NOT a per-op fit.
+# The per-op fit loop exists end-to-end (Solver.profile_ops ->
+# stats.fit_computation_model, amortized multi-dispatch timing with null-op
+# de-biasing) but this dev box's tunneled dispatch jitter (~ms, heavy-tailed)
+# still pollutes single-op samples; on directly-attached hardware run
+# tools/fit_computation_model.py and replace these. Because same-shape
+# supernodes execute as one batched XLA op here, a per-node polynomial
+# under-prices small supernodes in well-batched regimes; end-to-end
+# calibration across families (tools/calibrate_model.py) showed no uniform
+# constant scale beats this default everywhere — instead create_solver
+# applies regime coarsening (re-merge with 64x constants when the bottom
+# system lands at <=64 lumps, the op-overhead-bound regime).
 model_tpu_v5e_default = ComputationModel(
     potrf_params=[6.0e-06, 2.0e-09, 5.0e-10, 6.5e-12],
     trsm_params=[7.0e-06, 1.0e-08, 1.5e-10, 3.0e-08, 1.2e-09, 1.6e-11],

@@ -638,6 +638,43 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     et.build_tree()
     et.process_tree(settings.find_sparse_elimination_ranges, no_cross_points,
                     settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
+
+    # Op-overhead-bound regime coarsening (PLANNED backend, default model
+    # only): when the bottom system merges down to a handful of lumps,
+    # per-XLA-op launch/schedule overhead — not flops — dominates the
+    # factor and especially the solve (each lump level is a sequential op
+    # chain). The per-node polynomial model cannot express this (batched
+    # buckets amortize its constant terms across same-shape nodes, which
+    # is exactly what a few heterogeneous lumps don't do), so re-merge
+    # with the constant terms scaled up; the cubic terms still guard
+    # genuinely bad merges (break-even supernode width ~4k). Measured on
+    # v5e: flat1000 32 lumps/3 levels -> 2 lumps/2 levels, solve(1)
+    # 2.95 -> 0.85 ms, factor no worse; grid/meridian/BA-scale problems
+    # keep >100 lumps and never trigger.
+    n_bottom_lumps = len(et.lump_to_span) - 1
+    n_auto_elim = (et.sparse_elim_ranges[-1] if et.sparse_elim_ranges
+                   else 0)
+    if (settings.backend == BackendType.PLANNED
+            and settings.computation_model is None
+            and n_auto_elim == 0 and 2 < n_bottom_lumps <= 64):
+        from .computation_model import ComputationModel as _CM
+        base = et.comp_model
+        coarse = _CM(
+            potrf_params=base.potrf_params * [64.0, 1, 1, 1],
+            trsm_params=base.trsm_params * [64.0, 1, 1, 1, 1, 1],
+            syge_params=base.syge_params * [64.0, 1, 1, 1, 1, 1],
+            asmbl_params=base.asmbl_params * [64.0, 1, 1, 1])
+        et2 = EliminationTree(sorted_bottom_param_size, sorted_ss_bottom,
+                              coarse)
+        et2.build_tree()
+        et2.process_tree(settings.find_sparse_elimination_ranges,
+                         no_cross_points,
+                         settings.add_fill_policy ==
+                         AddFillPolicy.FOR_AUTO_ELIMS)
+        if (len(et2.lump_to_span) - 1 < n_bottom_lumps
+                and not et2.sparse_elim_ranges):
+            et = et2
+
     et.compute_aggregate_struct(
         settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
 
