@@ -97,6 +97,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_skel_build.argtypes = [ctypes.c_int64, ctypes.c_int64] + [i64p] * 15
     lib.bs_skel_chain_data.restype = ctypes.c_int
     lib.bs_skel_chain_data.argtypes = [ctypes.c_int64] + [i64p] * 8
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.bs_plan_below_rows.restype = ctypes.c_int
+    lib.bs_plan_below_rows.argtypes = [ctypes.c_int64] + [i64p] * 4 + \
+        [i32p, i64p]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.bs_compute_merges.restype = ctypes.c_int64
     lib.bs_compute_merges.argtypes = [
@@ -272,6 +276,27 @@ def try_skel_build(span_start, lump_to_span, col_ptr, row_ind):
     out["board_col_lump"] = out["board_col_lump"][:nreal]
     out["board_col_ord"] = out["board_col_ord"][:nreal]
     return out
+
+
+def try_plan_below_rows(span_start, lump_to_span, col_ptr, row_ind,
+                        total_below):
+    """Below-row RHS expansion (build_plan hot path); returns
+    (global_rows int32, lump_row_ptr int64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    num_lumps = len(col_ptr) - 1
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (span_start, lump_to_span, col_ptr, row_ind)]
+    global_rows = np.empty(int(total_below), np.int32)
+    lump_row_ptr = np.empty(num_lumps + 1, np.int64)
+    rc = lib.bs_plan_below_rows(
+        num_lumps, *(_as_i64p(a) for a in args),
+        global_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _as_i64p(lump_row_ptr))
+    if rc != 0:
+        return None
+    return global_rows, lump_row_ptr
 
 
 def try_skel_chain_data(span_start, lump_start, col_ptr, row_ind,

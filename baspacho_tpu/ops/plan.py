@@ -151,27 +151,34 @@ def build_plan(skel: CoalescedBlockMatrixSkel, sparse_elim_ranges,
     # global expansion of all below-diagonal chain rows (RHS positions),
     # with per-lump extents — each LumpDesc gets a view. int32
     # throughout: these are the largest symbolic-analysis temporaries
-    # (tens of millions of entries at BAL scale) and allocation
-    # first-touch is the dominant cost on sandboxed kernels.
-    chain_lump = np.repeat(np.arange(num_lumps, dtype=np.int32),
-                           ce_arr - cs_arr)
-    chain_pos = np.arange(len(sk.chain_row_span),
-                          dtype=np.int32) - cs_arr.astype(np.int32)[chain_lump]
-    below_chain = chain_pos >= n_diag.astype(np.int32)[chain_lump]
-    b_spans = sk.chain_row_span[below_chain]
-    b_lump = chain_lump[below_chain]
-    b_sizes = span_size.astype(np.int32)[b_spans]
-    b_starts = span_start.astype(np.int32)[b_spans]
-    tot = int(b_sizes.sum())
-    ex_cum = np.concatenate(
-        [np.zeros(1, np.int32), np.cumsum(b_sizes, dtype=np.int32)[:-1]]) \
-        if len(b_sizes) else np.empty(0, np.int32)
-    global_rows = (np.repeat(b_starts - ex_cum, b_sizes) +
-                   np.arange(tot, dtype=np.int32)) \
-        if tot else np.empty(0, np.int32)
-    lump_row_counts = np.bincount(b_lump, weights=b_sizes,
-                                  minlength=num_lumps).astype(np.int64)
-    lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
+    # (tens of millions of entries at BAL scale); C++ fills them in one
+    # pass, the numpy fallback in a repeat/cumsum pipeline.
+    from .. import native
+    fast = native.try_plan_below_rows(span_start, sk.lump_to_span,
+                                      sk.chain_col_ptr, sk.chain_row_span,
+                                      int(sk.below_rows.sum()))
+    if fast is not None:
+        global_rows, lump_row_ptr = fast
+    else:
+        chain_lump = np.repeat(np.arange(num_lumps, dtype=np.int32),
+                               ce_arr - cs_arr)
+        chain_pos = np.arange(len(sk.chain_row_span), dtype=np.int32) - \
+            cs_arr.astype(np.int32)[chain_lump]
+        below_chain = chain_pos >= n_diag.astype(np.int32)[chain_lump]
+        b_spans = sk.chain_row_span[below_chain]
+        b_lump = chain_lump[below_chain]
+        b_sizes = span_size.astype(np.int32)[b_spans]
+        b_starts = span_start.astype(np.int32)[b_spans]
+        tot = int(b_sizes.sum())
+        ex_cum = np.concatenate(
+            [np.zeros(1, np.int32), np.cumsum(b_sizes, dtype=np.int32)[:-1]]) \
+            if len(b_sizes) else np.empty(0, np.int32)
+        global_rows = (np.repeat(b_starts - ex_cum, b_sizes) +
+                       np.arange(tot, dtype=np.int32)) \
+            if tot else np.empty(0, np.int32)
+        lump_row_counts = np.bincount(b_lump, weights=b_sizes,
+                                      minlength=num_lumps).astype(np.int64)
+        lump_row_ptr = np.concatenate([[0], np.cumsum(lump_row_counts)])
 
     # per-span/per-lump descriptor OBJECTS are built lazily — only the
     # ref backend and pseudo-factor need them, and at BAL scale 500k+

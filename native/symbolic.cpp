@@ -573,6 +573,28 @@ i64 bs_skel_build(i64 num_spans, i64 num_lumps, const i64* span_start,
   return bpos;
 }
 
+// Below-row RHS index expansion for the numeric plan (build_plan): for
+// every lump, the global RHS row index of each of its below-diagonal
+// panel rows, concatenated, with per-lump extents. int32 output (the
+// largest plan temporary at BAL scale).
+int bs_plan_below_rows(i64 num_lumps, const i64* span_start,
+                       const i64* lump_to_span, const i64* col_ptr,
+                       const i64* row_ind, int32_t* global_rows,
+                       i64* lump_row_ptr) {
+  i64 m = 0;
+  lump_row_ptr[0] = 0;
+  for (i64 l = 0; l < num_lumps; l++) {
+    i64 nd = lump_to_span[l + 1] - lump_to_span[l];
+    for (i64 c = col_ptr[l] + nd; c < col_ptr[l + 1]; c++) {
+      i64 s = row_ind[c];
+      for (i64 r = span_start[s]; r < span_start[s + 1]; r++)
+        global_rows[m++] = (int32_t)r;
+    }
+    lump_row_ptr[l + 1] = m;
+  }
+  return 0;
+}
+
 // Phase 2: per-chain flat data offsets given the padded panel geometry
 // (panel_base, col_stride come from the Python-side pad policy).
 int bs_skel_chain_data(i64 num_lumps, const i64* span_start,
