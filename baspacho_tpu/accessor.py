@@ -112,7 +112,20 @@ class PermutedCoalescedAccessor:
 
     def block_offsets(self, row_index, col_index):
         """Vectorized (offset, stride, flip) for user-indexed block pairs."""
-        pr = self.perm[np.asarray(row_index, dtype=np.int64)]
+        row_arr = np.asarray(row_index, dtype=np.int64)
+        if row_arr.ndim == 1 and len(row_arr) > 4096:
+            # C++ fast path: one pass, per-lump binary search, no
+            # temporaries (the dominant cost of optimizer assembly-plan
+            # construction at BAL scale)
+            from . import native
+            sk = self.plain.skel
+            fast = native.try_perm_block_offsets(
+                row_arr, np.asarray(col_index, dtype=np.int64), self.perm,
+                sk.span_to_lump, sk.col_stride, sk.span_offset_in_lump,
+                sk.chain_col_ptr, sk.chain_row_span, sk.chain_data)
+            if fast is not None:
+                return fast
+        pr = self.perm[row_arr]
         pc = self.perm[np.asarray(col_index, dtype=np.int64)]
         hi, lo = np.maximum(pr, pc), np.minimum(pr, pc)
         off, stride = self.plain.block_offsets(hi, lo)

@@ -101,6 +101,10 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.bs_plan_below_rows.restype = ctypes.c_int
     lib.bs_plan_below_rows.argtypes = [ctypes.c_int64] + [i64p] * 4 + \
         [i32p, i64p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.bs_perm_block_offsets.restype = ctypes.c_int
+    lib.bs_perm_block_offsets.argtypes = \
+        [ctypes.c_int64] + [i64p] * 9 + [i64p, i64p, u8p]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.bs_compute_merges.restype = ctypes.c_int64
     lib.bs_compute_merges.argtypes = [
@@ -297,6 +301,31 @@ def try_plan_below_rows(span_start, lump_to_span, col_ptr, row_ind,
     if rc != 0:
         return None
     return global_rows, lump_row_ptr
+
+
+def try_perm_block_offsets(row_idx, col_idx, perm, span_to_lump,
+                           col_stride, span_offset_in_lump,
+                           chain_col_ptr, chain_row_span, chain_data):
+    """Vectorized permuted block lookup; returns (off, stride, flip)
+    int64/int64/bool arrays, or None (native lib missing or a queried
+    block absent — caller falls back to the numpy path and its assert)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nq = len(row_idx)
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (row_idx, col_idx, perm, span_to_lump, col_stride,
+                      span_offset_in_lump, chain_col_ptr, chain_row_span,
+                      chain_data)]
+    off = np.empty(nq, np.int64)
+    stride = np.empty(nq, np.int64)
+    flip = np.empty(nq, np.uint8)
+    rc = lib.bs_perm_block_offsets(
+        nq, *(_as_i64p(a) for a in args), _as_i64p(off), _as_i64p(stride),
+        flip.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return off, stride, flip.astype(bool)
 
 
 def try_skel_chain_data(span_start, lump_start, col_ptr, row_ind,

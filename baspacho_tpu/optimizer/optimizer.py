@@ -151,11 +151,8 @@ class Optimizer:
                     lo = np.minimum(gids[a], gids[b])
                     rows.append(hi)
                     cols.append(lo)
-        rows = np.concatenate(rows)
-        cols = np.concatenate(cols)
-        key = np.unique(rows * np.int64(n) + cols)
-        counts = np.bincount((key // n), minlength=n)
-        ss = SparseStructure(cum_sum_vec(counts), key % n)
+        from ..sparse_structure import _csr_from_pairs
+        ss = _csr_from_pairs(np.concatenate(rows), np.concatenate(cols), n)
 
         elim_count = sum(self.families[f].count for f in self.elim_families
                          if not self.families[f].fixed)

@@ -595,6 +595,34 @@ int bs_plan_below_rows(i64 num_lumps, const i64* span_start,
   return 0;
 }
 
+// Vectorized permuted-accessor block lookup (Accessor.h:145-181 analog,
+// batch form): for each queried (row_index, col_index) user pair, apply
+// the permutation, order the pair into the lower half, binary-search the
+// column lump's chain list for the row span, and emit (flat offset,
+// panel stride, flip). Returns -1 if any block is absent.
+int bs_perm_block_offsets(
+    i64 nq, const i64* row_idx, const i64* col_idx, const i64* perm,
+    const i64* span_to_lump, const i64* col_stride,
+    const i64* span_offset_in_lump, const i64* chain_col_ptr,
+    const i64* chain_row_span, const i64* chain_data,
+    i64* off_out, i64* stride_out, uint8_t* flip_out) {
+  for (i64 q = 0; q < nq; q++) {
+    i64 pr = perm ? perm[row_idx[q]] : row_idx[q];
+    i64 pc = perm ? perm[col_idx[q]] : col_idx[q];
+    i64 hi = pr > pc ? pr : pc, lo = pr > pc ? pc : pr;
+    i64 l = span_to_lump[lo];
+    const i64* b = chain_row_span + chain_col_ptr[l];
+    const i64* e = chain_row_span + chain_col_ptr[l + 1];
+    const i64* p = std::lower_bound(b, e, hi);
+    if (p == e || *p != hi) return -1;
+    i64 pos = chain_col_ptr[l] + (p - b);
+    off_out[q] = chain_data[pos] + span_offset_in_lump[lo];
+    stride_out[q] = col_stride[l];
+    flip_out[q] = (uint8_t)(pr < pc);
+  }
+  return 0;
+}
+
 // Phase 2: per-chain flat data offsets given the padded panel geometry
 // (panel_base, col_stride come from the Python-side pad policy).
 int bs_skel_chain_data(i64 num_lumps, const i64* span_start,
