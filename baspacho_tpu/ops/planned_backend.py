@@ -1074,9 +1074,62 @@ class PlannedBackend:
                     below = below.at[:, :, k + w:].add(-upd)
         return diag, below
 
+    UNROLL_CP = 8  # widths up to this use the unrolled scalar-vector path
+
+    def _unrolled_chol(self, A):
+        """Unrolled Cholesky for tiny panel widths as fused (B,) vector
+        ops. XLA's batched cholesky/triangular_solve primitives lower to
+        lane-padded masked loops that are catastrophically slow for
+        (B, n<=8, n) on TPU — measured 238 ms for a 50k-lump n=4 sparse
+        elimination level where this path takes ~10 ms."""
+        n = A.shape[1]
+        L = [[None] * n for _ in range(n)]
+        zero = jnp.zeros_like(A[:, 0, 0])
+        for j in range(n):
+            v = A[:, j, j]
+            for k in range(j):
+                v = v - L[j][k] * L[j][k]
+            d = jnp.sqrt(v)
+            L[j][j] = d
+            inv_d = 1.0 / d
+            for i in range(j + 1, n):
+                s = A[:, i, j]
+                for k in range(j):
+                    s = s - L[i][k] * L[j][k]
+                L[i][j] = s * inv_d
+        rows = [jnp.stack([L[i][j] if j <= i else zero
+                           for j in range(n)], axis=-1) for i in range(n)]
+        return jnp.stack(rows, axis=1)
+
+    def _unrolled_lower_inv(self, L):
+        """Closed-form inverse of batched tiny lower-triangular L: turns
+        every subsequent triangular solve into a batched matmul."""
+        n = L.shape[1]
+        zero = jnp.zeros_like(L[:, 0, 0])
+        M = [[None] * n for _ in range(n)]
+        for j in range(n):
+            M[j][j] = 1.0 / L[:, j, j]
+            for i in range(j + 1, n):
+                s = L[:, i, j] * M[j][j]
+                for k in range(j + 1, i):
+                    s = s + L[:, i, k] * M[k][j]
+                M[i][j] = -s / L[:, i, i]
+        rows = [jnp.stack([M[i][j] if j <= i else zero
+                           for j in range(n)], axis=-1) for i in range(n)]
+        return jnp.stack(rows, axis=1)
+
     def _factor_panels(self, diag_in, below_in, cp, dtype):
         """potrf + trsm on batched (B, cp, cp) diagonals with optional
         (B, rp, cp) below panels; returns (L, x_or_None)."""
+        if cp <= self.UNROLL_CP:
+            L = self._unrolled_chol(diag_in)
+            x = None
+            if below_in is not None:
+                Linv = self._unrolled_lower_inv(L)
+                # x L^T = below  =>  x = below L^-T
+                x = jnp.einsum("brk,bjk->brj", below_in, Linv,
+                               preferred_element_type=dtype)
+            return L, x
         if cp <= self.BLOCK:
             L = jax.lax.linalg.cholesky(diag_in, symmetrize_input=False)
             x = None
@@ -1615,6 +1668,13 @@ class PlannedBackend:
                          jnp.asarray(sb.vec_off)[:, None] + xr, order)
 
     def _tri(self, L, x, transpose):
+        if L.shape[1] <= self.UNROLL_CP:
+            # tiny widths: closed-form inverse + batched matmul (XLA's
+            # batched triangular_solve is lane-waste-bound at n<=8)
+            Linv = self._unrolled_lower_inv(L)
+            eq = "bji,bjn->bin" if transpose else "bij,bjn->bin"
+            return jnp.einsum(eq, Linv, x,
+                              preferred_element_type=x.dtype)
         if L.shape[1] > self.SOLVE_BLOCK:
             return self._big_panel_solve(L, x, transpose)
         return jax.lax.linalg.triangular_solve(
@@ -1655,38 +1715,6 @@ class PlannedBackend:
                     sb.aux_slot = len(aux_np)
                     aux_np.append(sb.below_idx)
         return aux_np
-
-    def _tri_solve(self, L, x, transpose):
-        """Triangular solve with a blocked panel loop for wide diagonals
-        (XLA's native lowering is slow/heavy above ~256)."""
-        cp = L.shape[1]
-        nb = self.BLOCK
-        if cp <= nb:
-            return jax.lax.linalg.triangular_solve(
-                L, x, left_side=True, lower=True, transpose_a=transpose)
-        if not transpose:
-            for k in range(0, cp, nb):
-                w = min(nb, cp - k)
-                xk = jax.lax.linalg.triangular_solve(
-                    L[:, k:k + w, k:k + w], x[:, k:k + w],
-                    left_side=True, lower=True)
-                x = x.at[:, k:k + w].set(xk)
-                if k + w < cp:
-                    x = x.at[:, k + w:].add(-jnp.einsum(
-                        "brk,bkn->brn", L[:, k + w:, k:k + w], xk,
-                        preferred_element_type=x.dtype))
-        else:
-            for k in range(((cp - 1) // nb) * nb, -1, -nb):
-                w = min(nb, cp - k)
-                xk = jax.lax.linalg.triangular_solve(
-                    L[:, k:k + w, k:k + w], x[:, k:k + w],
-                    left_side=True, lower=True, transpose_a=True)
-                x = x.at[:, k:k + w].set(xk)
-                if k > 0:
-                    x = x.at[:, :k].add(-jnp.einsum(
-                        "bkr,bkn->brn", L[:, k:k + w, :k], xk,
-                        preferred_element_type=x.dtype))
-        return x
 
     def make_solve_l(self, start_lump: int, end_lump: int):
         sched = self._solve_schedule(start_lump, end_lump)

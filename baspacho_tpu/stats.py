@@ -201,13 +201,18 @@ def profile_factor(solver, data, reps: int = 5) -> List[Tuple]:
                 x, t = timed(jax.jit(trsm_op), ext, L)
                 records.append(("trsm", lb.cp, lb.rp * B, 0, t))
 
-                def syge_op(x):
-                    return jnp.einsum("brk,bsk->brs", x, x,
-                                      preferred_element_type=x.dtype)
+                if dense is None:
+                    # dense W-mode levels never run per-bucket outer
+                    # products (the W.W^T product is timed as dense_upd);
+                    # timing them anyway would poison the syge fit with
+                    # ops the real program doesn't contain
+                    def syge_op(x):
+                        return jnp.einsum("brk,bsk->brs", x, x,
+                                          preferred_element_type=x.dtype)
 
-                prod, t = timed(jax.jit(syge_op), x)
-                records.append(("syge", lb.rp, lb.rp, lb.cp * B, t))
-                prods.append(prod.reshape(-1))
+                    prod, t = timed(jax.jit(syge_op), x)
+                    records.append(("syge", lb.rp, lb.rp, lb.cp * B, t))
+                    prods.append(prod.reshape(-1))
         if dense is None and prods:
             flat = jnp.concatenate(prods) if len(prods) > 1 else prods[0]
             npairs = sum(len(pb.src_base) for pb in pair_buckets)

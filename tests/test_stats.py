@@ -33,9 +33,17 @@ def test_solver_stats_collect():
 
 
 def test_profile_and_fit():
-    solver, data = make(n=150, fill=0.03, seed=1)
-    assert solver.skel.num_lumps > 1
-    records = profile_factor(solver, data, reps=1)
+    import os
+
+    # force the pair-scatter assembly mode: syge samples only exist on
+    # pair levels (dense W-mode levels time the product as dense_upd)
+    os.environ["BASPACHO_FORCE_ASSEMBLY"] = "pairs"
+    try:
+        solver, data = make(n=150, fill=0.03, seed=1)
+        assert solver.skel.num_lumps > 1
+        records = profile_factor(solver, data, reps=1)
+    finally:
+        os.environ.pop("BASPACHO_FORCE_ASSEMBLY", None)
     ops = {r[0] for r in records}
     assert "potrf" in ops and "trsm" in ops and "syge" in ops
     cm = fit_computation_model(records)
