@@ -1143,6 +1143,13 @@ class PlannedBackend:
     def _factor_bucket(self, ext, lb: LumpBucket, want_below=False):
         """Batched potrf + trsm of one bucket; returns (ext, flat_prod) or
         (ext, below_x) when want_below (dense update path)."""
+        # fusion fence: without it XLA's fusion pass goes quadratic on
+        # chained scatter->gather rounds whenever the root data vector is
+        # a computed value (e.g. after the padding-mask multiply) instead
+        # of a parameter — measured 210 s -> 3.6 s compile on a 5k-lump
+        # Schur level, with no runtime change (nothing profitable fuses
+        # across a panel write -> next bucket's panel read anyway)
+        ext = jax.lax.optimization_barrier(ext)
         panels = self._read_panels(ext, lb)
         pad_eye = self._pad_eye(lb.cols, lb.cp, ext.dtype)
         diag_in = panels[:, :lb.cp] + pad_eye
@@ -1686,6 +1693,11 @@ class PlannedBackend:
         enables the scatter-based below update; dense levels pass None and
         route below updates through compact accumulators instead."""
         cp = sb.cp
+        # fusion fence on the RHS vector: same scatter->gather chain
+        # compile blow-up as _factor_bucket (see comment there), on vv
+        # instead of ext — measured 214 s -> seconds on a 5k-lump Schur
+        # solve program
+        vv = jax.lax.optimization_barrier(vv)
         panels = self._read_panels(ext, sb)
         L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
         below = panels[:, cp:] if sb.rp > 0 else None

@@ -1,21 +1,30 @@
 #!/usr/bin/env python
 """Benchmark driver for baspacho_tpu.
 
-Default run mirrors the reference's headline synthetic benchmark
-(BENCHMARK_RESULTS.md FLAT size=1000 fill=0.1 bsize=3, factor op): builds
-the problem, runs symbolic analysis once, then times jitted factor+solve
-on the available device.
+Default run sweeps the reference's headline synthetic benchmark families
+(BENCHMARK_RESULTS.md: FLAT, FLAT+SCHUR, GRID, MERI, batched FLAT) in one
+invocation — the analog of the reference bench's one-command sweep
+(benchmarking/Bench.cpp:595, 290-358). For each family it builds the
+problem, runs symbolic analysis once, then times jitted factor+solve on
+the available device and prints one JSON line:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": R,
+   "solve_ms": ..., "symbolic_s": ...}
+
 where vs_baseline = our_time / reference_CUDA_backend_time on the same
 problem family (RTX-5000 numbers from the reference's shipped results;
-< 1.0 means faster than the reference's fastest backend). Additional
-detail lines go to stderr.
+< 1.0 means faster than the reference's fastest backend). The run ENDS
+with a single composite JSON line carrying every family's numbers, so
+the output tail alone documents the whole suite:
+
+  {"metric": "suite_geomean_vs_ref", "value": G, "unit": "ratio",
+   "vs_baseline": G, "families": {name: {...}, ...}}
+
+Additional detail lines go to stderr.
 
 Usage:
-  python bench.py                         # default: flat1000 factor
-  python bench.py --problem flat1000|flat_schur|grid|meri|batch|bal|bal_full
+  python bench.py                         # default: full synthetic sweep
+  python bench.py --problem flat1000|flat_schur|flat_schur_full|grid|meri|batch|bal|bal_full
   python bench.py --select 'flat|grid'    # run all matching synthetics
   python bench.py --dtype f32|f64 --solve-rhs 5 --csv ops.csv
 """
@@ -30,6 +39,11 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# families run by the default sweep, in order (cheap compiles first)
+DEFAULT_SWEEP = ["flat1000", "grid", "meri", "batch", "flat_schur",
+                 "flat_schur_full"]
 
 
 def time_op(fn, n=10, warmup=2):
@@ -99,11 +113,56 @@ def _splu_baseline(solver, hdata, grad, log):
     return t_f + t_s
 
 
+def synthetic_problems():
+    """Problem builders: name -> () -> (gen, param_sizes, elim_ranges,
+    ref_cuda_seconds, metric_name). Reference anchor times (seconds) are
+    the CUDA backend on RTX 5000 (see BASELINE.md)."""
+    from baspacho_tpu.testing import SparseMatGenerator
+
+    def _flat1000():
+        return (SparseMatGenerator.gen_flat(1000, 0.1, seed=37),
+                np.full(1000, 3), [], 0.053, "flat1000_factor_ms")
+
+    def _flat_schur():
+        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
+        gen.add_schur_set(5000, 0.02)
+        # scaled: reference used schursize=50000 (see flat_schur_full)
+        return gen, np.full(6000, 3), [0, 5000], 0.117 * 0.2, \
+            "flat_schur_factor_ms"
+
+    def _flat_schur_full():
+        # the reference's EXACT headline Schur config: FLAT n=1000
+        # fill=0.1 + schursize=50000 schurfill=0.02; anchor is the
+        # unscaled CUDA number (BENCHMARK_RESULTS.md:89-90)
+        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
+        gen.add_schur_set(50000, 0.02)
+        return gen, np.full(51000, 3), [0, 50000], 0.117, \
+            "flat_schur50k_factor_ms"
+
+    def _grid():
+        # ref scaled from the 200x200 batch-8 number
+        return (SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37),
+                np.full(10000, 3), [], 0.27 * 0.25, "grid100_factor_ms")
+
+    def _meri():
+        gen = SparseMatGenerator.gen_meridians(7, 150, 0.2, 10, 20, 2, 2,
+                                               seed=37)
+        # reference MERI n=7, CUDA batch-16 per-matrix
+        return gen, np.full(gen.size, 3), [], 0.082, "meri7_factor_ms"
+
+    return {"flat1000": _flat1000, "flat_schur": _flat_schur,
+            "flat_schur_full": _flat_schur_full,
+            "grid": _grid, "meri": _meri}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--problem", default="flat1000",
-                    choices=["flat1000", "flat_schur", "flat_schur_full",
-                             "grid", "batch", "bal", "bal_full", "meri"])
+    ap.add_argument("--problem", default=None,
+                    choices=["all", "flat1000", "flat_schur",
+                             "flat_schur_full", "grid", "batch", "bal",
+                             "bal_full", "meri"],
+                    help="single problem to run; default: the full "
+                         "synthetic sweep (composite JSON at the end)")
     ap.add_argument("--refined", action="store_true",
                     help="bal_full: also run solve_refined against an "
                          "f64 copy of the system and report the refined "
@@ -136,236 +195,145 @@ def main():
     import jax
     if args.dtype == "f64" or args.refined:
         jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
-
-    from baspacho_tpu import BackendType, Settings, create_solver
-    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
 
     dtype = np.float32 if args.dtype == "f32" else np.float64
     log(f"devices: {jax.devices()}")
 
-    # reference times (seconds) for the same problem family: CUDA backend
-    # on RTX 5000 (see BASELINE.md); used for the vs_baseline ratio
-    def _flat1000():
-        return (SparseMatGenerator.gen_flat(1000, 0.1, seed=37),
-                np.full(1000, 3), [], 0.053, "flat1000_factor_ms")
+    SYNTHETIC = synthetic_problems()
 
-    def _flat_schur():
-        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
-        gen.add_schur_set(5000, 0.02)
-        # scaled: reference used schursize=50000 (see flat_schur_full)
-        return gen, np.full(6000, 3), [0, 5000], 0.117 * 0.2, \
-            "flat_schur_factor_ms"
-
-    def _flat_schur_full():
-        # the reference's EXACT headline Schur config: FLAT n=1000
-        # fill=0.1 + schursize=50000 schurfill=0.02; anchor is the
-        # unscaled CUDA number (BENCHMARK_RESULTS.md:89-90)
-        gen = SparseMatGenerator.gen_flat(1000, 0.1, seed=37)
-        gen.add_schur_set(50000, 0.02)
-        return gen, np.full(51000, 3), [0, 50000], 0.117, \
-            "flat_schur50k_factor_ms"
-
-    def _grid():
-        # ref scaled from the 200x200 batch-8 number
-        return (SparseMatGenerator.gen_grid(100, 100, 0.25, seed=37),
-                np.full(10000, 3), [], 0.27 * 0.25, "grid100_factor_ms")
-
-    def _meri():
-        gen = SparseMatGenerator.gen_meridians(7, 150, 0.2, 10, 20, 2, 2,
-                                               seed=37)
-        # reference MERI n=7, CUDA batch-16 per-matrix
-        return gen, np.full(gen.size, 3), [], 0.082, "meri7_factor_ms"
-
-    SYNTHETIC = {"flat1000": _flat1000, "flat_schur": _flat_schur,
-                 "flat_schur_full": _flat_schur_full,
-                 "grid": _grid, "meri": _meri}
-
-    if args.select or (args.problem in SYNTHETIC and args.exclude):
+    if args.select or args.exclude:
         import re
         sel = re.compile(args.select or ".*")
         exc = re.compile(args.exclude) if args.exclude else None
         names = [n for n in SYNTHETIC
                  if sel.search(n) and not (exc and exc.search(n))]
         log(f"selected problems: {names}")
+        results = []
         for name in names:
-            _run_synthetic(name, SYNTHETIC[name], args, dtype)
+            results.append(_run_synthetic(name, SYNTHETIC[name], args,
+                                          dtype))
+        _print_composite(results)
+        return
+
+    if args.problem is None or args.problem == "all":
+        # the default one-invocation sweep (reference Bench.cpp:595)
+        results = []
+        for name in DEFAULT_SWEEP:
+            try:
+                if name == "batch":
+                    results.append(_run_batch(args, dtype))
+                else:
+                    results.append(_run_synthetic(name, SYNTHETIC[name],
+                                                  args, dtype))
+            except Exception as e:  # keep the sweep alive per-family
+                log(f"[{name}] FAILED: {e!r}")
+                results.append({"name": name, "error": repr(e)})
+        _print_composite(results)
         return
 
     if args.problem in SYNTHETIC:
-        _run_synthetic(args.problem, SYNTHETIC[args.problem], args, dtype)
+        res = _run_synthetic(args.problem, SYNTHETIC[args.problem], args,
+                             dtype)
+        _print_composite([res])
+        return
+
+    if args.problem == "batch":
+        res = _run_batch(args, dtype)
+        _print_composite([res])
         return
 
     if args.problem == "bal":
-        # bundle-adjustment Hessian: Schur-eliminated landmarks + cameras
-        # (structure of BAL problem-301-30000-like; reference
-        # BaAtLargeBench.cpp benchmarks the same shape)
-        from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
-        from baspacho_tpu.optimizer import OptimizerSettings
-        prob = make_random_bal(n_cams=300, n_pts=30000, track_len=6,
-                               seed=1)
-        opt, _, _ = build_ba_optimizer(prob)
-        t0 = time.perf_counter()
-        solver = opt.build_solver(OptimizerSettings(
-            backend=BackendType.PLANNED))
-        log(f"symbolic analysis: {time.perf_counter() - t0:.2f}s  "
-            f"lumps={solver.skel.num_lumps} "
-            f"levels={solver.backend.num_levels} "
-            f"dataSize={solver.data_size}")
-        values = [f.values for f in opt.families]
-        t0 = time.perf_counter()
-        cost, grad, hdata = opt.compute_grad_hess(
-            values, dtype=jnp.float32)
-        _force(hdata)
-        log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
-            f"cost={float(cost):.3e}")
-        damp_idx = jnp.asarray(solver.skel.damp_indices())
-        hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
-        tf = time_op(lambda: solver.factor(hdata), n=args.reps)
-        f = solver.factor(hdata)
-        ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
-        log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
-        # end-to-end LM iteration (grad/hess assembly + factor + solve):
-        # the Theseus-style inner loop
-        def lm_iter():
-            c, g, h = opt.compute_grad_hess(values, dtype=jnp.float32)
-            h = h.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
-            ff = solver.factor(h)
-            return solver.solve(ff, -g)
-        t_it = time_op(lm_iter, n=3, warmup=1)
-        log(f"full LM iteration (grad/hess+factor+solve): "
-            f"{t_it*1e3:.2f} ms")
-        # reference CUDA full-system factor on venice-like shapes ~ scaled;
-        # use BaAtLargeBench problem-257 CUDA factor ~0.31s as anchor
-        ref_cuda_s = 0.31
-        print(json.dumps({
-            "metric": "bal_30k_factor_ms", "value": round(tf * 1e3, 3),
-            "unit": "ms", "vs_baseline": round(tf / ref_cuda_s, 4)}))
+        _run_bal(args)
         return
-    elif args.problem == "bal_full":
-        # the north-star scale: BAL problem-871-527480 (Venice-871 shape:
-        # 871 cameras, 527480 landmarks, ~2.6M observations). Tracks use
-        # the camera-window model of real capture sessions (bal.py). The
-        # reference benchmarks this via BaAtLargeBench on downloaded BAL
-        # files (BaAtLargeBench.cpp:44-238); offline, we synthesize the
-        # same shape. Baseline: scipy SuperLU (best available CPU sparse
-        # direct solver here — the CHOLMOD stand-in) on the identical
-        # full system, with --cpu-baseline; else the north-star contract
-        # "beat CHOLMOD" is reported against a CHOLMOD-scale estimate
-        # from the reference's own data (FLAT n=4000/12k params: 13.1 s,
-        # BENCHMARK_RESULTS.md:52; this system has 530k params but
-        # Schur-friendly structure — we use 13.1 s as a conservative
-        # stand-in for CHOLMOD wall time on this family).
-        from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
-        from baspacho_tpu.optimizer import OptimizerSettings
-        t0 = time.perf_counter()
-        prob = make_random_bal(n_cams=args.bal_cams, n_pts=args.bal_pts,
-                               track_len=5, seed=1, track_mode="window",
-                               window=24, loop_frac=0.03, noise=1.0)
-        log(f"problem gen: {time.perf_counter() - t0:.2f}s  "
-            f"cams={prob.num_cameras} pts={prob.num_points} "
-            f"obs={prob.num_observations}")
-        opt, _, _ = build_ba_optimizer(prob)
-        t0 = time.perf_counter()
-        solver = opt.build_solver(OptimizerSettings(
-            backend=BackendType.PLANNED))
-        t_sym = time.perf_counter() - t0
-        log(f"symbolic analysis: {t_sym:.2f}s  "
-            f"lumps={solver.skel.num_lumps} "
-            f"levels={solver.backend.num_levels} "
-            f"dataSize={solver.data_size}")
-        values = [f.values for f in opt.families]
-        t0 = time.perf_counter()
-        cost, grad, hdata = opt.compute_grad_hess(values,
-                                                  dtype=jnp.float32)
-        _force(hdata)
-        log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
-            f"cost={float(cost):.3e}")
-        damp_idx = jnp.asarray(solver.skel.damp_indices())
-        hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
-        tf = time_op(lambda: solver.factor(hdata), n=args.reps)
-        f = solver.factor(hdata)
-        ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
-        log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
-        x = solver.solve(f, -grad)
-        r = solver.add_mv_from(hdata, 0, x, jnp.zeros_like(x), 1.0) + grad
-        rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(grad))
-        log(f"solve relative residual: {rel:.2e}")
-        t_ref = 0.0
-        if args.refined:
-            # the f64 accuracy contract at full scale: iterative
-            # refinement against an f64 copy of the system (factor and
-            # all O(n^3) work stay f32; residual+correction rounds are
-            # f64 matvecs + f32 solves — Solver.solve_refined)
-            h64 = jnp.asarray(np.asarray(hdata, dtype=np.float64))
-            g64 = jnp.asarray(np.asarray(grad, dtype=np.float64))
-            t0 = time.perf_counter()
-            xr = solver.solve_refined(h64, f, -g64, iterations=2)
-            _force(xr)
-            t_ref = time.perf_counter() - t0
-            rr = solver.add_mv_from(h64, 0, xr, jnp.zeros_like(xr),
-                                    1.0) + g64
-            rel_r = float(jnp.linalg.norm(rr) / jnp.linalg.norm(g64))
-            log(f"refined solve: {t_ref*1e3:.1f} ms "
-                f"(first call, incl. compile)  relative residual: "
-                f"{rel_r:.2e}")
-            t_ref = time_op(lambda: solver.solve_refined(
-                h64, f, -g64, iterations=2), n=max(2, args.reps // 2))
-            log(f"refined solve (amortized): {t_ref*1e3:.2f} ms")
-        ref_s = 13.1  # CHOLMOD-scale anchor (FLAT n=4000 time, see above)
-        if args.cpu_baseline:
-            splu_s = _splu_baseline(solver, hdata, grad, log)
-            log(f"baselines: measured SuperLU {splu_s:.2f}s | borrowed "
-                f"CHOLMOD-scale anchor {ref_s:.2f}s")
-            ref_s = splu_s
-        print(json.dumps({
-            "metric": "bal871_527k_factor_solve_ms",
-            "value": round((tf + ts) * 1e3, 3), "unit": "ms",
-            "vs_baseline": round((tf + ts) / ref_s, 4)}))
-        return
-    else:  # batch
-        gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)
-        psize = np.full(200, 3)
-        elim = []
-        ref_cuda_s = 0.004
-        metric = "batch256_factor_ms_per_matrix"
+    _run_bal_full(args)
+
+
+def _family_json(res):
+    """The per-family JSON line (driver-parsable)."""
+    out = {"metric": res["metric"], "value": res["factor_ms"],
+           "unit": "ms", "vs_baseline": res["vs_baseline"],
+           "solve_ms": res.get("solve_ms"),
+           "symbolic_s": res.get("symbolic_s")}
+    if res.get("residual") is not None:
+        out["residual"] = res["residual"]
+    return out
+
+
+def _print_composite(results):
+    """Per-family lines were already printed; end with ONE composite line
+    holding every family's numbers (the driver records the output tail)."""
+    ok = [r for r in results if "error" not in r]
+    for r in results:
+        if "error" in r:
+            log(f"[{r['name']}] errored: {r['error']}")
+    fams = {}
+    for r in ok:
+        fams[r["name"]] = {k: r[k] for k in
+                           ("factor_ms", "solve_ms", "symbolic_s",
+                            "vs_baseline", "residual", "solve_ms_per_mat")
+                           if r.get(k) is not None}
+    ratios = [r["vs_baseline"] for r in ok if r.get("vs_baseline")]
+    geo = float(np.exp(np.mean(np.log(ratios)))) if ratios else float("nan")
+    print(json.dumps({
+        "metric": "suite_geomean_vs_ref", "value": round(geo, 4),
+        "unit": "ratio", "vs_baseline": round(geo, 4),
+        "families": fams}), flush=True)
+
+
+def _run_batch(args, dtype):
+    """Batched identical-structure factor+solve (reference CUDA batch
+    mode, Bench.cpp:242-263; per-matrix amortized times)."""
+    import jax
+    from baspacho_tpu import BackendType, Settings, create_solver
+    from baspacho_tpu.testing import SparseMatGenerator, random_spd_data
+
+    gen = SparseMatGenerator.gen_flat(200, 0.15, seed=37)
+    psize = np.full(200, 3)
+    ref_cuda_s = 0.004
+    metric = "batch256_factor_ms_per_matrix"
 
     ss = gen.to_structure()
     t0 = time.perf_counter()
-    solver = create_solver(Settings(backend=BackendType.PLANNED),
-                           psize, ss, sparse_elim_ranges=elim)
-    log(f"symbolic analysis: {time.perf_counter() - t0:.2f}s  "
+    solver = create_solver(Settings(backend=BackendType.PLANNED,
+                                    matmul_precision=args.precision),
+                           psize, ss, sparse_elim_ranges=[])
+    t_sym = time.perf_counter() - t0
+    log(f"[batch] symbolic analysis: {t_sym:.2f}s  "
         f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
         f"dataSize={solver.data_size}")
 
-    if True:
-        B = 256
-        datas = np.stack([
-            np.asarray(solver.skel.damp(
-                random_spd_data(solver.data_size, solver.order, s, dtype),
-                0.0, solver.order * 1.5), dtype=dtype)
-            for s in range(4)] * (B // 4))
-        jd = jax.device_put(datas)
-        t = time_op(lambda: solver.factor(jd), n=args.reps)
-        per_matrix = t / B
-        log(f"batched factor: {t*1e3:.2f} ms total, "
-            f"{per_matrix*1e6:.1f} us/matrix")
-        fb = solver.factor(jd)
-        rhsb = jax.device_put(np.random.RandomState(0).rand(
-            B, solver.order, 1).astype(dtype))
-        tsol = time_op(lambda: solver.solve(fb, rhsb), n=args.reps)
-        log(f"batched solve: {tsol*1e3:.2f} ms total, "
-            f"{tsol/B*1e6:.1f} us/matrix "
-            f"(reference CUDA batch-16 solve ~1.2 ms/matrix)")
-        print(json.dumps({
-            "metric": metric, "value": round(per_matrix * 1e3, 4),
-            "unit": "ms", "vs_baseline": round(per_matrix / ref_cuda_s, 4)}))
-        return
+    B = 256
+    datas = np.stack([
+        np.asarray(solver.skel.damp(
+            random_spd_data(solver.data_size, solver.order, s, dtype),
+            0.0, solver.order * 1.5), dtype=dtype)
+        for s in range(4)] * (B // 4))
+    jd = jax.device_put(datas)
+    t = time_op(lambda: solver.factor(jd), n=args.reps)
+    per_matrix = t / B
+    log(f"[batch] batched factor: {t*1e3:.2f} ms total, "
+        f"{per_matrix*1e6:.1f} us/matrix")
+    fb = solver.factor(jd)
+    rhsb = jax.device_put(np.random.RandomState(0).rand(
+        B, solver.order, 1).astype(dtype))
+    tsol = time_op(lambda: solver.solve(fb, rhsb), n=args.reps)
+    log(f"[batch] batched solve: {tsol*1e3:.2f} ms total, "
+        f"{tsol/B*1e6:.1f} us/matrix "
+        f"(reference CUDA batch-16 solve ~1.2 ms/matrix)")
+    res = {"name": "batch", "metric": metric,
+           "factor_ms": round(per_matrix * 1e3, 4),
+           "solve_ms": round(tsol * 1e3, 3),
+           "solve_ms_per_mat": round(tsol / B * 1e3, 4),
+           "symbolic_s": round(t_sym, 3),
+           "vs_baseline": round(per_matrix / ref_cuda_s, 4)}
+    print(json.dumps(_family_json(res)), flush=True)
+    return res
 
 
 def _run_synthetic(name, make, args, dtype):
     """One synthetic problem: symbolic analysis + factor + solve-N
-    timing, residual check, optional per-op CSV dump (-Z analog)."""
+    timing, residual check, optional per-op CSV dump (-Z analog).
+    Returns the result record (and prints its JSON line)."""
     import jax
     from baspacho_tpu import BackendType, Settings, create_solver
     from baspacho_tpu.testing import random_spd_data
@@ -376,7 +344,8 @@ def _run_synthetic(name, make, args, dtype):
     solver = create_solver(Settings(backend=BackendType.PLANNED,
                                     matmul_precision=args.precision),
                            psize, ss, sparse_elim_ranges=elim)
-    log(f"[{name}] symbolic analysis: {time.perf_counter() - t0:.2f}s  "
+    t_sym = time.perf_counter() - t0
+    log(f"[{name}] symbolic analysis: {t_sym:.2f}s  "
         f"lumps={solver.skel.num_lumps} levels={solver.backend.num_levels} "
         f"dataSize={solver.data_size}")
 
@@ -396,6 +365,7 @@ def _run_synthetic(name, make, args, dtype):
 
     # accuracy: relative factor residual ||L L^T - A|| / ||A||
     # (host densify is O(order^2); skip for very large systems)
+    resid = None
     if solver.order <= 12000:
         fn = np.asarray(f, dtype=np.float64)
         dense = solver.skel.densify(data.astype(np.float64),
@@ -415,11 +385,164 @@ def _run_synthetic(name, make, args, dtype):
         _run_synthetic._csv_started = True
         solver.print_stats()
 
-    # headline: factor wall time vs the reference CUDA backend's factor
-    # time on the matching problem (solve time reported on stderr)
+    res = {"name": name, "metric": metric,
+           "factor_ms": round(tf * 1e3, 3),
+           "solve_ms": round(ts * 1e3, 3),
+           "symbolic_s": round(t_sym, 3),
+           "residual": resid,
+           "vs_baseline": round(tf / ref_cuda_s, 4)}
+    print(json.dumps(_family_json(res)), flush=True)
+    return res
+
+
+def _run_bal(args):
+    # bundle-adjustment Hessian: Schur-eliminated landmarks + cameras
+    # (structure of BAL problem-301-30000-like; reference
+    # BaAtLargeBench.cpp benchmarks the same shape)
+    import jax
+    import jax.numpy as jnp
+    from baspacho_tpu import BackendType
+    from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
+    from baspacho_tpu.optimizer import OptimizerSettings
+    prob = make_random_bal(n_cams=300, n_pts=30000, track_len=6,
+                           seed=1)
+    opt, _, _ = build_ba_optimizer(prob)
+    t0 = time.perf_counter()
+    solver = opt.build_solver(OptimizerSettings(
+        backend=BackendType.PLANNED))
+    t_sym = time.perf_counter() - t0
+    log(f"symbolic analysis: {t_sym:.2f}s  "
+        f"lumps={solver.skel.num_lumps} "
+        f"levels={solver.backend.num_levels} "
+        f"dataSize={solver.data_size}")
+    values = [f.values for f in opt.families]
+    t0 = time.perf_counter()
+    cost, grad, hdata = opt.compute_grad_hess(
+        values, dtype=jnp.float32)
+    _force(hdata)
+    log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
+        f"cost={float(cost):.3e}")
+    damp_idx = jnp.asarray(solver.skel.damp_indices())
+    hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+    tf = time_op(lambda: solver.factor(hdata), n=args.reps)
+    f = solver.factor(hdata)
+    ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
+    log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
+    # end-to-end LM iteration (grad/hess assembly + factor + solve):
+    # the Theseus-style inner loop
+    def lm_iter():
+        c, g, h = opt.compute_grad_hess(values, dtype=jnp.float32)
+        h = h.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+        ff = solver.factor(h)
+        return solver.solve(ff, -g)
+    t_it = time_op(lm_iter, n=3, warmup=1)
+    log(f"full LM iteration (grad/hess+factor+solve): "
+        f"{t_it*1e3:.2f} ms")
+    # reference CUDA full-system factor on venice-like shapes ~ scaled;
+    # use BaAtLargeBench problem-257 CUDA factor ~0.31s as anchor
+    ref_cuda_s = 0.31
     print(json.dumps({
-        "metric": metric, "value": round(tf * 1e3, 3), "unit": "ms",
-        "vs_baseline": round(tf / ref_cuda_s, 4)}))
+        "metric": "bal_30k_factor_ms", "value": round(tf * 1e3, 3),
+        "unit": "ms", "vs_baseline": round(tf / ref_cuda_s, 4),
+        "solve_ms": round(ts * 1e3, 3),
+        "symbolic_s": round(t_sym, 3)}))
+
+
+def _run_bal_full(args):
+    # the north-star scale: BAL problem-871-527480 (Venice-871 shape:
+    # 871 cameras, 527480 landmarks, ~2.6M observations). Tracks use
+    # the camera-window model of real capture sessions (bal.py). The
+    # reference benchmarks this via BaAtLargeBench on downloaded BAL
+    # files (BaAtLargeBench.cpp:44-238); offline, we synthesize the
+    # same shape. Baseline: scipy SuperLU (best available CPU sparse
+    # direct solver here — the CHOLMOD stand-in) on the identical
+    # full system, with --cpu-baseline; else the north-star contract
+    # "beat CHOLMOD" is reported against a CHOLMOD-scale estimate
+    # from the reference's own data (FLAT n=4000/12k params: 13.1 s,
+    # BENCHMARK_RESULTS.md:52; this system has 530k params but
+    # Schur-friendly structure — we use 13.1 s as a conservative
+    # stand-in for CHOLMOD wall time on this family).
+    import jax
+    import jax.numpy as jnp
+    from baspacho_tpu import BackendType
+    from baspacho_tpu.bal import make_random_bal, build_ba_optimizer
+    from baspacho_tpu.optimizer import OptimizerSettings
+    t0 = time.perf_counter()
+    prob = make_random_bal(n_cams=args.bal_cams, n_pts=args.bal_pts,
+                           track_len=5, seed=1, track_mode="window",
+                           window=24, loop_frac=0.03, noise=1.0)
+    log(f"problem gen: {time.perf_counter() - t0:.2f}s  "
+        f"cams={prob.num_cameras} pts={prob.num_points} "
+        f"obs={prob.num_observations}")
+    opt, _, _ = build_ba_optimizer(prob)
+    t0 = time.perf_counter()
+    solver = opt.build_solver(OptimizerSettings(
+        backend=BackendType.PLANNED))
+    t_sym = time.perf_counter() - t0
+    log(f"symbolic analysis: {t_sym:.2f}s  "
+        f"lumps={solver.skel.num_lumps} "
+        f"levels={solver.backend.num_levels} "
+        f"dataSize={solver.data_size}")
+    values = [f.values for f in opt.families]
+    t0 = time.perf_counter()
+    cost, grad, hdata = opt.compute_grad_hess(values,
+                                              dtype=jnp.float32)
+    _force(hdata)
+    log(f"grad/hess assembly: {time.perf_counter() - t0:.2f}s "
+        f"cost={float(cost):.3e}")
+    damp_idx = jnp.asarray(solver.skel.damp_indices())
+    hdata = hdata.at[damp_idx].mul(1.001).at[damp_idx].add(1e-3)
+    tf = time_op(lambda: solver.factor(hdata), n=args.reps)
+    f = solver.factor(hdata)
+    ts = time_op(lambda: solver.solve(f, -grad), n=args.reps)
+    log(f"factor: {tf*1e3:.2f} ms   solve: {ts*1e3:.2f} ms")
+    x = solver.solve(f, -grad)
+    r = solver.add_mv_from(hdata, 0, x, jnp.zeros_like(x), 1.0) + grad
+    rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(grad))
+    log(f"solve relative residual: {rel:.2e}")
+    t_ref = 0.0
+    rel_r = None
+    if args.refined:
+        # the f64 accuracy contract at full scale: iterative
+        # refinement against an f64 copy of the system (factor and
+        # all O(n^3) work stay f32; residual+correction rounds are
+        # f64 matvecs + f32 solves — Solver.solve_refined)
+        h64 = jnp.asarray(np.asarray(hdata, dtype=np.float64))
+        g64 = jnp.asarray(np.asarray(grad, dtype=np.float64))
+        t0 = time.perf_counter()
+        xr = solver.solve_refined(h64, f, -g64, iterations=2)
+        _force(xr)
+        t_ref = time.perf_counter() - t0
+        rr = solver.add_mv_from(h64, 0, xr, jnp.zeros_like(xr),
+                                1.0) + g64
+        rel_r = float(jnp.linalg.norm(rr) / jnp.linalg.norm(g64))
+        log(f"refined solve: {t_ref*1e3:.1f} ms "
+            f"(first call, incl. compile)  relative residual: "
+            f"{rel_r:.2e}")
+        t_ref = time_op(lambda: solver.solve_refined(
+            h64, f, -g64, iterations=2), n=max(2, args.reps // 2))
+        log(f"refined solve (amortized): {t_ref*1e3:.2f} ms")
+    ref_s = 13.1  # CHOLMOD-scale anchor (FLAT n=4000 time, see above)
+    splu_s = None
+    if args.cpu_baseline:
+        splu_s = _splu_baseline(solver, hdata, grad, log)
+        log(f"baselines: measured SuperLU {splu_s:.2f}s | borrowed "
+            f"CHOLMOD-scale anchor {ref_s:.2f}s")
+        ref_s = splu_s
+    out = {
+        "metric": "bal871_527k_factor_solve_ms",
+        "value": round((tf + ts) * 1e3, 3), "unit": "ms",
+        "vs_baseline": round((tf + ts) / ref_s, 4),
+        "factor_ms": round(tf * 1e3, 3),
+        "solve_ms": round(ts * 1e3, 3),
+        "symbolic_s": round(t_sym, 3),
+        "residual": rel}
+    if rel_r is not None:
+        out["refined_residual"] = rel_r
+        out["refined_solve_ms"] = round(t_ref * 1e3, 3)
+    if splu_s is not None:
+        out["superlu_baseline_s"] = round(splu_s, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
