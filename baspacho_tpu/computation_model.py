@@ -114,14 +114,62 @@ class ComputationModel:
 # under-prices small supernodes in well-batched regimes; end-to-end
 # calibration across families (tools/calibrate_model.py) showed no uniform
 # constant scale beats this default everywhere — instead create_solver
-# applies regime coarsening (re-merge with 64x constants when the bottom
-# system lands at <=64 lumps, the op-overhead-bound regime).
+# generates coarser merge candidates (scale_constant_terms) in the
+# op-overhead-bound regime (<=64 bottom lumps) and selects by the
+# batched-regime evaluator below (BatchedRegimeParams).
 model_tpu_v5e_default = ComputationModel(
     potrf_params=[6.0e-06, 2.0e-09, 5.0e-10, 6.5e-12],
     trsm_params=[7.0e-06, 1.0e-08, 1.5e-10, 3.0e-08, 1.2e-09, 1.6e-11],
     syge_params=[8.0e-06, 2.0e-08, 8.0e-11, 2.0e-08, 5.0e-10, 8.0e-12],
     asmbl_params=[4.0e-06, 5.0e-08, 3.0e-07, 2.5e-08],
 )
+
+def scale_constant_terms(model: ComputationModel,
+                         scale: float) -> ComputationModel:
+    """Scale only the CONSTANT terms of a model. The constants represent
+    per-op dispatch/launch overhead; in the batched regime a node shares
+    its dispatch with every same-shape node of its level, so scaled
+    constants answer "what if each node carried its whole chain's
+    overhead" — used by create_solver to GENERATE coarser merge
+    candidates, which are then selected by the honest batched-regime
+    evaluator (solver._batched_factor_cost)."""
+    return ComputationModel(
+        potrf_params=model.potrf_params * [scale, 1, 1, 1],
+        trsm_params=model.trsm_params * [scale, 1, 1, 1, 1, 1],
+        syge_params=model.syge_params * [scale, 1, 1, 1, 1, 1],
+        asmbl_params=model.asmbl_params * [scale, 1, 1, 1])
+
+
+@dataclass
+class BatchedRegimeParams:
+    """Constants for the batched-regime cost evaluator
+    (solver._batched_factor_cost). All measured on TPU v5e via
+    tools/measure_dispatch.py (chained-op programs timed amortized over
+    many dispatches; matmul rate from a panel-shaped einsum sweep at
+    f32-highest precision)."""
+    dispatch_overhead: float  # s per sequential XLA op inside a program
+    matmul_rate: float        # flop/s, f32-highest, large panels
+    mxu_sat_width: float      # panel width where the MXU saturates
+    bucket_ops: float         # XLA ops per factor bucket (cp <= 256)
+    block_step_ops: float     # XLA ops per 256-block step (wide panels)
+    level_ops: float          # XLA ops per level's update/assembly
+
+
+# Measured 2026-08-19 on the v5e (tools/measure_dispatch.py):
+#   chain slope 52-59 us/op (buffer-size independent — genuine per-op
+#   cost of a gather/matmul/scatter round, not buffer copies),
+#   syrk peak 29.1 Tflop/s at s>=1024, measured utilization curve
+#   util(s) = {128: 0.14, 256: 0.32, 512: 0.57, 1024: 0.98} — fit by
+#   min(1, s/1024), per-bucket cost ~6 dispatch units.
+batched_regime_v5e = BatchedRegimeParams(
+    dispatch_overhead=5.5e-05,
+    matmul_rate=2.9e13,
+    mxu_sat_width=1024.0,
+    bucket_ops=6.0,
+    block_step_ops=6.0,
+    level_ops=12.0,
+)
+
 
 # Model for the host (CPU XLA) path used in tests/interpret mode.
 model_cpu_default = ComputationModel(

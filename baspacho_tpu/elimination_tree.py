@@ -85,24 +85,6 @@ class EliminationTree:
             (incl[tptr[:-1]] - psz_r[tptr[:-1]])
         self.node_row_blocks = col_len - 1
 
-        # linear-in-width cost accumulators per column (vectorized
-        # syge_lin_est/asmbl_lin_est over all entries + per-column sums)
-        sp, ap = cm.syge_params, cm.asmbl_params
-        m = skipped_rows + psz_r
-        u, v = m + psz_r, m * psz_r
-        syge0 = sp[0] + u * sp[1] + v * sp[2]
-        syge1 = sp[3] + u * sp[4] + v * sp[5]
-        br = skipped_blocks + 1
-        asmbl0 = ap[0] + br * ap[1]
-        asmbl1 = ap[2] + br * ap[3]
-        nseg = ord_
-        self.syge_costs = np.stack([
-            np.bincount(col_of, weights=syge0, minlength=nseg),
-            np.bincount(col_of, weights=syge1, minlength=nseg)], axis=1)
-        self.asmbl_costs = np.stack([
-            np.bincount(col_of, weights=asmbl0, minlength=nseg),
-            np.bincount(col_of, weights=asmbl1, minlength=nseg)], axis=1)
-
         # per-row stats ([col, r_blocks, rows, r_blocks_down, rows_down]
         # sorted by col) feed only the merge loop: the native path builds
         # them in C++ from the filled CSC; the Python fallback builds them
@@ -111,6 +93,30 @@ class EliminationTree:
         self._csc_rows = rows
         self._entry_stats = (col_of, psz_r, skipped_blocks, skipped_rows)
         self.per_row_stats = None
+        self._compute_cost_accumulators()
+
+    def _compute_cost_accumulators(self) -> None:
+        """Linear-in-width cost accumulators per column under the current
+        computation model (vectorized syge_lin_est/asmbl_lin_est over all
+        filled entries + per-column sums). Model-dependent but cheap —
+        `remerge` recomputes them without redoing the symbolic fill."""
+        cm = self.comp_model
+        col_of, psz_r, skipped_blocks, skipped_rows = self._entry_stats
+        sp, ap = cm.syge_params, cm.asmbl_params
+        m = skipped_rows + psz_r
+        u, v = m + psz_r, m * psz_r
+        syge0 = sp[0] + u * sp[1] + v * sp[2]
+        syge1 = sp[3] + u * sp[4] + v * sp[5]
+        br = skipped_blocks + 1
+        asmbl0 = ap[0] + br * ap[1]
+        asmbl1 = ap[2] + br * ap[3]
+        nseg = self.ss.order
+        self.syge_costs = np.stack([
+            np.bincount(col_of, weights=syge0, minlength=nseg),
+            np.bincount(col_of, weights=syge1, minlength=nseg)], axis=1)
+        self.asmbl_costs = np.stack([
+            np.bincount(col_of, weights=asmbl0, minlength=nseg),
+            np.bincount(col_of, weights=asmbl1, minlength=nseg)], axis=1)
 
     def _build_per_row_stats(self) -> None:
         if self.per_row_stats is not None:
@@ -391,6 +397,41 @@ class EliminationTree:
             cursor[li] += 1
         self.perm_inverse = perm_inverse
         self.lump_to_span = lump_to_span
+
+    # ------------------------------------------------------------------
+    # merge-state snapshot/restore + remerge: lets create_solver evaluate
+    # alternative merge candidates (different model constants) WITHOUT
+    # re-running build_tree's symbolic fill — the expensive part of the
+    # analysis is computed once and shared.
+    _MERGE_STATE_ATTRS = (
+        "merge_with", "num_merged_nodes", "num_merges", "lump_start",
+        "lump_to_span", "perm_inverse", "sparse_elim_ranges", "node_size",
+        "syge_costs", "asmbl_costs", "comp_model", "col_start", "row_param")
+
+    def capture_merge_state(self) -> dict:
+        out = {}
+        for a in self._MERGE_STATE_ATTRS:
+            v = getattr(self, a, None)
+            out[a] = v.copy() if isinstance(v, np.ndarray) else v
+        return out
+
+    def restore_merge_state(self, state: dict) -> None:
+        for a, v in state.items():
+            setattr(self, a, v)
+
+    def remerge(self, comp_model: ComputationModel,
+                detect_sparse_elim_ranges: bool,
+                no_cross_points: Sequence[int] = (),
+                find_only_elims: bool = False) -> None:
+        """Re-run the merge phase (process_tree) under a different
+        computation model, reusing the already-computed symbolic fill and
+        tree. Resets everything the merge loop mutates."""
+        self.comp_model = comp_model or self.comp_model
+        self.node_size = self.param_size.copy()
+        self.per_row_stats = None
+        self._compute_cost_accumulators()
+        self.process_tree(detect_sparse_elim_ranges, no_cross_points,
+                          find_only_elims)
 
     # ------------------------------------------------------------------
     def compute_aggregate_struct(self, fill_only_for_elims: bool = False) -> None:

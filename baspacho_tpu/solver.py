@@ -580,6 +580,71 @@ def _pad_fn_for(settings: "Settings"):
     return None
 
 
+def _batched_factor_cost(et, pad_fn) -> float:
+    """Modeled factor time of a merged tree under the BATCHED execution
+    regime the planned backend actually runs: same-shape lumps of a level
+    execute as ONE XLA op, levels are sequential, and each sequential op
+    carries a dispatch/schedule overhead. The per-node polynomial the merge
+    loop minimizes cannot express this (its constant terms charge per NODE;
+    batching charges per BUCKET) — this evaluator re-prices a candidate
+    tree post-merge:
+
+      cost = sum_buckets [ ops(bucket) * C_DISPATCH + flops(bucket)/rate ]
+           + num_levels * LEVEL_OPS * C_DISPATCH
+
+    Constants below are measured on TPU v5e (tools/measure_dispatch.py):
+    chained small-op overhead and effective f32-highest matmul rates at
+    the panel shapes the backend emits. Used only to SELECT between merge
+    candidates (see create_solver), never to drive the merge loop itself,
+    so ranking fidelity is what matters, not absolute accuracy."""
+    from .computation_model import batched_regime_v5e as brp
+    from .utils import cum_sum_vec as _csv
+
+    nl = len(et.lump_start) - 1
+    if nl == 0:
+        return 0.0
+    widths = et.lump_start[1:] - et.lump_start[:-1]
+    span_sizes = np.empty(len(et.param_size), dtype=np.int64)
+    span_sizes[et.perm_inverse] = et.param_size
+    rp_sizes = span_sizes[et.row_param]
+    sums = np.concatenate([[0], np.cumsum(rp_sizes)])
+    col_rows = sums[et.col_start[1:]] - sums[et.col_start[:-1]]
+    below = col_rows - widths
+
+    counts = et.lump_to_span[1:] - et.lump_to_span[:-1]
+    span_to_lump = np.repeat(np.arange(nl, dtype=np.int64), counts)
+    levels = np.zeros(nl, dtype=np.int64)
+    for a in range(nl):
+        tl = span_to_lump[et.row_param[et.col_start[a]:et.col_start[a + 1]]]
+        tl = np.unique(tl[tl > a])
+        if len(tl):
+            np.maximum.at(levels, tl, levels[a] + 1)
+
+    if pad_fn is not None:
+        prp, pcp = pad_fn(below, widths)
+    else:
+        prp, pcp = below, widths
+
+    t = float(levels.max() + 1) * brp.level_ops * brp.dispatch_overhead
+    buckets = {}
+    for a in range(nl):
+        key = (int(levels[a]), int(pcp[a]), int(prp[a]))
+        buckets[key] = buckets.get(key, 0) + 1
+    for (_, s, r), B in buckets.items():
+        if s <= 8:
+            ops = 3.0 * s          # unrolled tiny-panel chol/inverse
+        elif s <= 256:
+            ops = brp.bucket_ops   # native cholesky + trsm + read/write
+        else:
+            ops = brp.block_step_ops * ((s + 255) // 256)
+        flops = B * (s ** 3 / 3.0 + s * s * r + s * r * r)
+        # narrow panels waste MXU lanes; measured v5e utilization fits
+        # min(1, s/1024) (see BatchedRegimeParams provenance)
+        util = min(1.0, max(s, 1) / brp.mxu_sat_width)
+        t += ops * brp.dispatch_overhead + flops / (brp.matmul_rate * util)
+    return t
+
+
 def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
                   sparse_elim_ranges: Sequence[int] = (),
                   elim_last_ids: Sequence[int] = ()) -> Solver:
@@ -639,44 +704,50 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
     et.process_tree(settings.find_sparse_elimination_ranges, no_cross_points,
                     settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
 
-    # Op-overhead-bound regime coarsening (PLANNED backend, default model
-    # only): when the bottom system merges down to a handful of lumps,
-    # per-XLA-op launch/schedule overhead — not flops — dominates the
-    # factor and especially the solve (each lump level is a sequential op
-    # chain). The per-node polynomial model cannot express this (batched
-    # buckets amortize its constant terms across same-shape nodes, which
-    # is exactly what a few heterogeneous lumps don't do), so re-merge
-    # with the constant terms scaled up; the cubic terms still guard
-    # genuinely bad merges (break-even supernode width ~4k). Measured on
-    # v5e: flat1000 32 lumps/3 levels -> 2 lumps/2 levels, solve(1)
-    # 2.95 -> 0.85 ms, factor no worse; grid/meridian/BA-scale problems
-    # keep >100 lumps and never trigger.
+    # Op-overhead-bound regime handling (PLANNED backend): when the bottom
+    # system merges down to a handful of lumps, per-XLA-op launch/schedule
+    # overhead — not flops — dominates the factor and especially the solve
+    # (each lump level is a sequential op chain). The per-node polynomial
+    # model cannot express this (its constant terms charge per NODE, while
+    # batched execution charges per BUCKET), so in that regime we generate
+    # alternative merge CANDIDATES by scaling the model's constant terms
+    # (constants represent dispatch overhead; scaling asks "what if each
+    # node carried the whole chain's overhead") and SELECT by the
+    # batched-regime cost evaluator (_batched_factor_cost, measured v5e
+    # constants). The candidates re-run only the merge phase — the symbolic
+    # fill from build_tree is reused (et.remerge), so the expensive part of
+    # the analysis is not repeated. Applies to user-provided models too:
+    # candidate generation scales WHATEVER model is in effect. Measured on
+    # v5e: flat1000 32 lumps/3 levels -> 2 lumps/2 levels, factor 15.7 ->
+    # 5.2 ms; grid/meridian/BA-scale problems keep >100 lumps and never
+    # enter this path.
     n_bottom_lumps = len(et.lump_to_span) - 1
     n_auto_elim = (et.sparse_elim_ranges[-1] if et.sparse_elim_ranges
                    else 0)
     if (settings.backend == BackendType.PLANNED
-            and settings.computation_model is None
             and n_auto_elim == 0 and 2 < n_bottom_lumps <= 64):
-        from .computation_model import ComputationModel as _CM
+        from .computation_model import scale_constant_terms
+        find_elims = settings.find_sparse_elimination_ranges
+        only_elims = settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS
+        pad_fn = _pad_fn_for(settings)
         base = et.comp_model
-        coarse = _CM(
-            potrf_params=base.potrf_params * [64.0, 1, 1, 1],
-            trsm_params=base.trsm_params * [64.0, 1, 1, 1, 1, 1],
-            syge_params=base.syge_params * [64.0, 1, 1, 1, 1, 1],
-            asmbl_params=base.asmbl_params * [64.0, 1, 1, 1])
-        et2 = EliminationTree(sorted_bottom_param_size, sorted_ss_bottom,
-                              coarse)
-        et2.build_tree()
-        et2.process_tree(settings.find_sparse_elimination_ranges,
-                         no_cross_points,
-                         settings.add_fill_policy ==
-                         AddFillPolicy.FOR_AUTO_ELIMS)
-        if (len(et2.lump_to_span) - 1 < n_bottom_lumps
-                and not et2.sparse_elim_ranges):
-            et = et2
-
-    et.compute_aggregate_struct(
-        settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
+        et.compute_aggregate_struct(only_elims)
+        best = et.capture_merge_state()
+        best_cost = _batched_factor_cost(et, pad_fn)
+        for scale in (8.0, 64.0):
+            et.remerge(scale_constant_terms(base, scale), find_elims,
+                       no_cross_points, only_elims)
+            if (len(et.lump_to_span) - 1 >= len(best["lump_to_span"]) - 1
+                    or et.sparse_elim_ranges):
+                continue  # not a coarser candidate
+            et.compute_aggregate_struct(only_elims)
+            cost = _batched_factor_cost(et, pad_fn)
+            if cost < best_cost:
+                best, best_cost = et.capture_merge_state(), cost
+        et.restore_merge_state(best)
+    else:
+        et.compute_aggregate_struct(
+            settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS)
 
     et_total_inv_perm = compose_permutations(et.perm_inverse, inv_perm)
     full_inv_perm = np.concatenate([
