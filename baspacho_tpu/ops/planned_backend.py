@@ -502,7 +502,8 @@ class PlannedBackend:
         Kp = sum(len(lump_buckets[bi].off) * lump_buckets[bi].cp
                  for bi, pb_ in per_bucket.items() if pb_ is not None)
         force_dm = os.environ.get("BASPACHO_FORCE_DENSE_MODE")
-        w_mode = (R + 1) * Kp <= self.W_MAX_ELEMS and force_dm != "oh"
+        w_mode = (R + 1) * Kp <= self.W_MAX_ELEMS and \
+            force_dm not in ("oh", "sg", "row")
         if w_mode:
             out_cap = 1 << 62  # whole R is materialized: no outliers
         row_maps = []
@@ -671,12 +672,29 @@ class PlannedBackend:
                                int(compact_start[tspans[i]])))
             i = j + 1
 
+        # span-granular accumulation variant: when every touched span has
+        # one uniform size, one-hot placement can address SPANS instead of
+        # rows (oh volume / s3^2) and full-space chunks accumulate only a
+        # lower block-triangle of U (see _plan_sg). Costed against the
+        # row-granular form; the row-granular descriptors are kept in the
+        # plan regardless (solve + sharded factor still use them).
+        update_cost = total_flops / self.MXU_FLOPS + mode_cost
+        sg = None
+        if not w_mode and force_dm != "row":
+            sg = self._plan_sg(tsizes, R, per_bucket, cr_b, spread_b,
+                               out_cap, minmax_b, lump_buckets)
+            if sg is not None and (sg["cost"] < update_cost or
+                                   force_dm == "sg"):
+                update_cost = sg["cost"]
+            else:
+                sg = None
+
         slice_elems = sum(rs * wc for _, rs, _, _, wc, _, _ in slices)
         mode_fields = {"mode": "w" if w_mode else "oh",
                        "Kp": kcur if w_mode else 0,
-                       "col_base": col_base}
+                       "col_base": col_base, "sg": sg}
         if len(slices) <= self.UNROLL_SLICES:
-            cost = total_flops / self.MXU_FLOPS + mode_cost + \
+            cost = update_cost + \
                 len(slices) * 3 * self.OP_US + \
                 (R * R + slice_elems) * 4 / 8e11  # U zero/traffic at HBM bw
             return {"R": R, "groups": groups, "row_maps": row_maps,
@@ -704,7 +722,7 @@ class PlannedBackend:
             slice_scans.append((rsp, st, _i32(np.array(items))))
             pr = max(pr, rsp)
             lc = max(lc, st)
-        cost = total_flops / self.MXU_FLOPS + mode_cost + \
+        cost = update_cost + \
             len(slices) * self.SCAN_SLICE_US + \
             len(slice_scans) * self.OP_US + \
             (R * R + 2 * pad_elems) * 4 / 8e11
@@ -712,6 +730,156 @@ class PlannedBackend:
                 "pad_b": pad_b, "slices": [], "slice_scans": slice_scans,
                 "u_pads": (pr, lc, lc), "vec_slices": vec_slices,
                 "outliers": outliers, "cost": cost, **mode_fields}
+
+    OH_CAP_ELEMS = 64 << 20  # max one-hot elements per chunk (both modes)
+
+    def _plan_sg(self, tsizes, R, per_bucket, cr_b, spread_b, out_cap,
+                 minmax_b, lump_buckets):
+        """Span-granular variant of the chunked one-hot U accumulation.
+
+        When every touched span has ONE uniform size s3 (all-3 Schur sets,
+        all-9 BA camera bottoms), the one-hot placement can address SPANS
+        instead of rows: the oh tensor shrinks by ~s3^2 (rows/s3 on the
+        source side, positions/s3 on the target side) and the placement
+        einsum moves s3*cp-wide blocks per MXU lane instead of cp-wide
+        rows. When additionally every chunk covers the whole compact space
+        (random-fill Schur sets: no locality, spread ~ R), the U
+        accumulation runs only on a lower block-triangle of T row-blocks
+        (mirrored once after the scan), cutting the accumulation GEMM to
+        (T+1)/2T of the full square. On the reference's schursize=50000
+        config this replaces a measured ~1s row-granular accumulation with
+        ~2.4 TFLOP of near-pure MXU syrk. Returns None when the level is
+        not span-uniform."""
+        s3 = int(tsizes[0]) if len(tsizes) else 0
+        if s3 < 2 or np.any(tsizes != s3) or R % s3:
+            return None
+        S = R // s3
+        maps = {}
+        for bi, lb in enumerate(lump_buckets):
+            pb_ = per_bucket.get(bi)
+            if lb.rp == 0 or pb_ is None:
+                continue
+            sp, sz, rows_m, ptr_m = pb_
+            if np.any(sz != s3):
+                return None  # a below span outside the uniform size
+            B = len(lb.off)
+            ns3p = -(-lb.rp // s3)
+            ns_m = rows_m // s3
+            keep = spread_b[bi] <= out_cap
+            # member boundaries in cr_b fall on s3 multiples (every span
+            # contributes exactly s3 consecutive compact rows), so the
+            # first row of each span is cr_b[::s3]
+            spans_c = cr_b[bi][::s3] // s3
+            km = np.repeat(keep, ns_m)
+            ii = np.repeat(np.arange(B), ns_m)[km]
+            jj = (np.arange(int(ns_m.sum()), dtype=np.int64) -
+                  np.repeat(np.cumsum(ns_m) - ns_m, ns_m))[km]
+            sc = np.full((B, ns3p), S, dtype=np.int32)
+            sc[ii, jj] = spans_c[km]
+            maps[bi] = sc
+        if not maps:
+            return None
+
+        # a level whose typical origin already spreads over most of the
+        # compact space has no locality to exploit: force EVERY chunk to
+        # the full window (uniform ssub = S) so the accumulation qualifies
+        # for triangular blocking — a stray narrow tail chunk must not
+        # disqualify the whole level
+        sp_all = [spread_b[bi][spread_b[bi] > 0] for bi in maps]
+        sp_all = np.concatenate(sp_all) if sp_all else np.zeros(1)
+        full_level = len(sp_all) > 0 and float(np.median(sp_all)) >= 0.5 * R
+
+        sfloor = max(1, self.SUB_FLOOR // s3)
+        groups: Dict[Tuple[int, int, int], list] = {}
+        pad_b: Dict[int, int] = {}
+        n_chunks = 0
+        flops_u = 0.0   # U-accumulation GEMM flops (pre-triangular)
+        flops_y = 0.0   # placement einsum flops (MXU-lane padded)
+        oh_elems = 0.0
+        y_elems = 0.0
+        u_rmw = 0.0     # per-chunk U window read+write bytes
+        all_full = True
+        for bi, lb in enumerate(lump_buckets):
+            if maps.get(bi) is None:
+                continue
+            mn_m, mx_m = minmax_b[bi]
+            smn = np.where(mn_m >= R, S, mn_m // s3)
+            smx = mx_m // s3  # -1 stays negative for masked members
+            B = len(lb.off)
+            ns3p = maps[bi].shape[1]
+            cp = lb.cp
+            lane = max(s3 * cp, 128)  # MXU lane padding on the y einsum
+            best, best_per = None, 4
+            per = 4
+            while per <= max(4, 4 * self.CHUNK_W // cp):
+                b0s = np.arange(0, B, per)
+                mn_c = np.minimum.reduceat(smn, b0s)
+                mx_c = np.maximum.reduceat(smx, b0s)
+                valid = mx_c >= 0
+                ext = np.maximum(mx_c - mn_c + 1, sfloor)
+                ssub = np.minimum(_pad_pow2(np.maximum(ext, 1), 1), S)
+                ssub = ssub[valid].astype(np.float64)
+                if full_level:
+                    ssub = np.full_like(ssub, S)
+                nv = int(valid.sum())
+                fl = float((2.0 * (ssub * s3) ** 2 * per * cp).sum())
+                fy = float((2.0 * per * ns3p * ssub * lane).sum())
+                oh = float((per * ns3p * ssub).sum())
+                ye = float((per * ssub * s3 * cp).sum())
+                rmw = float(((ssub * s3) ** 2).sum()) * 8
+                cost = nv * self.CHUNK_STEP_US + \
+                    (fl + fy) / self.MXU_FLOPS + \
+                    ((oh + 2 * ye) * 4 + rmw) / self.HBM_BPS
+                if best is None or cost < best:
+                    best, best_per = cost, per
+                per *= 2
+            work = [(b0, min(b0 + best_per, B))
+                    for b0 in range(0, B, best_per)]
+            while work:
+                b0, b1 = work.pop()
+                v = smx[b0:b1]
+                sel = v >= 0
+                if not np.any(sel):
+                    continue
+                mnc = int(smn[b0:b1][sel].min())
+                mxc = int(v[sel].max())
+                ssub = min(_ceil_pow2(max(mxc - mnc + 1, sfloor)), S)
+                slo = 0 if ssub >= S else max(0, min(mnc, S - ssub))
+                if full_level or ssub >= S:
+                    ssub, slo = S, 0
+                nb = b1 - b0
+                if nb > 1 and nb * ns3p * ssub > self.OH_CAP_ELEMS:
+                    mid = (b0 + b1) // 2
+                    work += [(b0, mid), (mid, b1)]
+                    continue
+                if ssub < S:
+                    all_full = False
+                groups.setdefault((bi, nb, ssub), []).append((b0, slo))
+                pad_b[bi] = max(pad_b.get(bi, B), b0 + nb)
+                n_chunks += 1
+                flops_u += 2.0 * (ssub * s3) ** 2 * nb * cp
+                flops_y += 2.0 * nb * ns3p * ssub * lane
+                oh_elems += nb * ns3p * ssub
+                y_elems += nb * ssub * s3 * cp
+                u_rmw += (ssub * s3) ** 2 * 8
+        if not groups:
+            return None
+        tri = None
+        if all_full and n_chunks >= 2:
+            T = 4 if R >= 2048 else (2 if R >= 1024 else 1)
+            if T > 1:
+                Sb = -(-S // T)
+                bnd = [(k * Sb, min((k + 1) * Sb, S)) for k in range(T)
+                       if k * Sb < S]
+                tri = [(a * s3, b * s3) for a, b in bnd]
+                frac = (len(bnd) + 1) / (2.0 * len(bnd))
+                flops_u *= frac
+                u_rmw *= frac
+        cost = n_chunks * self.CHUNK_STEP_US + \
+            (flops_u + flops_y) / self.MXU_FLOPS + \
+            ((oh_elems + 2 * y_elems) * 4 + u_rmw) / self.HBM_BPS
+        return {"s3": s3, "S": S, "maps": maps, "groups": groups,
+                "pad_b": pad_b, "tri": tri, "cost": cost}
 
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         """Group the lump ids by padded panel shape (fully vectorized —
@@ -1228,6 +1396,16 @@ class PlannedBackend:
                 dense["sslots"].append((rsp, st, len(aux_np)))
                 aux_np.append(desc)  # (S, 6) per-slice descriptors
                 max_win = max(max_win, rsp * st)
+            sg = dense.get("sg")
+            if sg is not None:
+                sg["slots"] = {}
+                for bi, m in sg["maps"].items():
+                    sg["slots"][bi] = len(aux_np)
+                    aux_np.append(m)
+                sg["gslots"] = {}
+                for key, items in sg["groups"].items():
+                    sg["gslots"][key] = len(aux_np)
+                    aux_np.append(_i32(np.array(items)))  # (nc, 2): b0, slo
         return max_win
 
     def _run_factor_level(self, ext, level, aux):
@@ -1364,6 +1542,20 @@ class PlannedBackend:
                 U = jax.lax.dynamic_update_slice(U, U_core, (0, ulc))
             return self._apply_dense_slices(ext, dense, U, ulc, aux)
         U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
+        if dense.get("sg") is not None:
+            U = self._accum_sg(U, ulc, dense, lump_buckets, xs, aux)
+            ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
+            if pair_buckets:  # outlier origins: block-pair path
+                prods = []
+                for bi, idxs, _bidx in dense["out_groups"]:
+                    xo = xs[bi][jnp.asarray(idxs)]
+                    prods.append(jnp.einsum(
+                        "brk,bsk->brs", xo, xo,
+                        preferred_element_type=ext.dtype).reshape(-1))
+                flat = jnp.concatenate(prods) if len(prods) > 1 \
+                    else prods[0]
+                ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+            return ext
         for (bi, nb, subp), items in dense["groups"].items():
             lb = lump_buckets[bi]
             x = xs[bi]
@@ -1415,6 +1607,71 @@ class PlannedBackend:
             ext = self._apply_pairs(ext, flat, pair_buckets,
                                     aux)
         return ext
+
+    def _accum_sg(self, U, ulc, dense, lump_buckets, xs, aux):
+        """Span-granular U accumulation (see _plan_sg): per chunk, place
+        each origin's below panel by SPAN via a one-hot einsum, then one
+        GEMM accumulates the chunk's contribution. Full-space chunks
+        accumulate only a lower block-triangle, mirrored once after all
+        scans (every contribution is block-triangular in that regime, so
+        the mirror reconstructs the exact symmetric U)."""
+        sgp = dense["sg"]
+        s3, S, tri = sgp["s3"], sgp["S"], sgp["tri"]
+        R = dense["R"]
+        for (bi, nb, ssub) in sgp["groups"]:
+            lb = lump_buckets[bi]
+            x = xs[bi]
+            sc = aux[sgp["slots"][bi]]
+            ns3p = sc.shape[1]
+            padB = sgp["pad_b"][bi]
+            if padB > x.shape[0]:
+                pn = padB - x.shape[0]
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pn,) + x.shape[1:], x.dtype)])
+                sc = jnp.concatenate(
+                    [sc, jnp.full((pn, ns3p), S, jnp.int32)])
+            rp3 = ns3p * s3
+            if rp3 > x.shape[1]:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((x.shape[0], rp3 - x.shape[1],
+                                   x.shape[2]), x.dtype)], axis=1)
+            x4 = x.reshape(x.shape[0], ns3p, s3, lb.cp)
+            b0lo = aux[sgp["gslots"][(bi, nb, ssub)]]
+
+            def chunk_step(U, b0lo, x4=x4, sc=sc, nb=nb, ssub=ssub,
+                           cp=lb.cp):
+                b0, slo = b0lo[0], b0lo[1]
+                xc = jax.lax.dynamic_slice_in_dim(x4, b0, nb)
+                scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
+                ids = slo + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, ssub), 2)
+                oh = (scc[:, :, None] == ids).astype(xc.dtype)
+                y = jnp.einsum("bns,bnic->bsic", oh, xc,
+                               preferred_element_type=xc.dtype)
+                ym = y.reshape(nb, ssub * s3, cp)
+                if tri is not None and ssub == S:
+                    for ai, (a0, a1) in enumerate(tri):
+                        for (c0, c1) in tri[:ai + 1]:
+                            us = jnp.einsum(
+                                "bmc,bnc->mn", ym[:, a0:a1], ym[:, c0:c1],
+                                preferred_element_type=xc.dtype)
+                            U = U.at[a0:a1, ulc + c0:ulc + c1].add(us)
+                    return U, None
+                us = jnp.einsum("bmc,bnc->mn", ym, ym,
+                                preferred_element_type=xc.dtype)
+                lo = slo * s3
+                Uc = jax.lax.dynamic_slice(
+                    U, (lo, ulc + lo), (ssub * s3, ssub * s3))
+                return jax.lax.dynamic_update_slice(
+                    U, Uc + us, (lo, ulc + lo)), None
+
+            U, _ = jax.lax.scan(chunk_step, U, b0lo)
+        if tri is not None:
+            for ai, (a0, a1) in enumerate(tri):
+                for (c0, c1) in tri[:ai]:
+                    U = U.at[c0:c1, ulc + a0:ulc + a1].set(
+                        U[a0:a1, ulc + c0:ulc + c1].T)
+        return U
 
     # ------------------------------------------------------------------
     # multi-chip: ONE factorization sharded over a device mesh
@@ -1792,6 +2049,16 @@ class PlannedBackend:
                 for gkey, items in dense["groups"].items():
                     info["gslots"][gkey] = len(aux_np)
                     aux_np.append(_i32(np.array(items)))
+                sg = dense.get("sg")
+                if sg is not None:
+                    info["sg_slots"] = {}
+                    for bi, m in sg["maps"].items():
+                        info["sg_slots"][bi] = len(aux_np)
+                        aux_np.append(m)
+                    info["sg_gslots"] = {}
+                    for gkey, items in sg["groups"].items():
+                        info["sg_gslots"][gkey] = len(aux_np)
+                        aux_np.append(_i32(np.array(items)))
                 info["out"] = []
                 for bi, idxs, bidx in dense.get("out_groups", []):
                     slot = len(aux_np)
@@ -1870,6 +2137,127 @@ class PlannedBackend:
                 lb = info["buckets"][bi]
                 piece = dxcat[base:base + len(lb.off) * lb.cp]
                 dxs[bi] = piece.reshape(len(lb.off), lb.cp, nrhs)
+            return dxs
+
+        def _sg_pad(sgp, bi, arrs, sc, S):
+            """Pad chunk operands to the sg pad_b member count (sentinel
+            span rows contribute nothing)."""
+            padB = sgp["pad_b"][bi]
+            if padB > arrs[0].shape[0]:
+                pn = padB - arrs[0].shape[0]
+                arrs = [jnp.concatenate(
+                    [a, jnp.zeros((pn,) + a.shape[1:], a.dtype)])
+                    for a in arrs]
+                sc = jnp.concatenate(
+                    [sc, jnp.full((pn, sc.shape[1]), S, jnp.int32)])
+            return arrs, sc
+
+        def dense_below_fwd_sg(vv, info, xs, belows, aux):
+            """Span-granular forward below update: per chunk, per-origin
+            products place by SPAN through the compact accumulator (the
+            solve analog of _accum_sg; oh volume / s3^2 vs row form)."""
+            dense = info["dense"]
+            sgp = dense["sg"]
+            s3, S = sgp["s3"], sgp["S"]
+            R = dense["R"]
+            nrhs = vv.shape[1]
+            acc = jnp.zeros((R, nrhs), vv.dtype)
+            for (bi, nb, ssub), islot in info["sg_gslots"].items():
+                sc = aux[info["sg_slots"][bi]]
+                ns3p = sc.shape[1]
+                (x, below), sc = _sg_pad(
+                    sgp, bi, [xs[bi], belows[bi]], sc, S)
+                b0lo = aux[islot]
+
+                def step(acc, b0lo, x=x, below=below, sc=sc, nb=nb,
+                         ssub=ssub, ns3p=ns3p):
+                    b0, slo = b0lo[0], b0lo[1]
+                    xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
+                    t = jnp.einsum("brc,bcn->brn", bl, xc,
+                                   preferred_element_type=x.dtype)
+                    rp3 = ns3p * s3
+                    if rp3 > t.shape[1]:
+                        t = jnp.concatenate(
+                            [t, jnp.zeros((nb, rp3 - t.shape[1], nrhs),
+                                          t.dtype)], axis=1)
+                    t4 = t.reshape(nb, ns3p, s3, nrhs)
+                    ids = slo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, ssub), 2)
+                    oh = (scc[:, :, None] == ids).astype(t.dtype)
+                    contrib = jnp.einsum(
+                        "bns,bnim->sim", oh, t4,
+                        preferred_element_type=t.dtype
+                    ).reshape(ssub * s3, nrhs)
+                    lo = slo * s3
+                    z = jnp.zeros((), lo.dtype)
+                    cur = jax.lax.dynamic_slice(
+                        acc, (lo, z), (ssub * s3, nrhs))
+                    return jax.lax.dynamic_update_slice(
+                        acc, cur + contrib, (lo, z)), None
+
+                acc, _ = jax.lax.scan(step, acc, b0lo)
+            if "cidx_slot" in info:
+                vv = vv.at[aux[info["cidx_slot"]]].add(
+                    -acc, indices_are_sorted=False, unique_indices=True)
+            else:
+                for v0, ln, g0 in dense["vec_slices"]:
+                    vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
+            return vv
+
+        def dense_dx_sg(vv, info, belows, aux):
+            """Span-granular transpose corrections (dense_dx analog)."""
+            dense = info["dense"]
+            sgp = dense["sg"]
+            s3, S = sgp["s3"], sgp["S"]
+            R = dense["R"]
+            nrhs = vv.shape[1]
+            if "cidx_slot" in info:
+                acc = vv[aux[info["cidx_slot"]]]
+            else:
+                acc = jnp.zeros((R, nrhs), vv.dtype)
+                for v0, ln, g0 in dense["vec_slices"]:
+                    acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
+            dxs = {}
+            for (bi, nb, ssub), islot in info["sg_gslots"].items():
+                sc = aux[info["sg_slots"][bi]]
+                ns3p = sc.shape[1]
+                cp = info["buckets"][bi].cp
+                rp = belows[bi].shape[1]
+                (below,), sc = _sg_pad(sgp, bi, [belows[bi]], sc, S)
+                padB = below.shape[0]
+                b0lo = aux[islot]
+                dx0 = dxs.get(bi)
+                if dx0 is None:
+                    dx0 = jnp.zeros((padB, cp, nrhs), vv.dtype)
+                elif dx0.shape[0] < padB:
+                    dx0 = jnp.concatenate(
+                        [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
+                                        vv.dtype)])
+
+                def step(dx, b0lo, below=below, sc=sc, nb=nb,
+                         ssub=ssub, ns3p=ns3p, rp=rp):
+                    b0, slo = b0lo[0], b0lo[1]
+                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
+                    ids = slo + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, ssub), 2)
+                    oh = (scc[:, :, None] == ids).astype(vv.dtype)
+                    lo = slo * s3
+                    av = jax.lax.dynamic_slice(
+                        acc, (lo, jnp.zeros((), lo.dtype)),
+                        (ssub * s3, nrhs)).reshape(ssub, s3, nrhs)
+                    t4 = jnp.einsum("bns,sim->bnim", oh, av,
+                                    preferred_element_type=vv.dtype)
+                    t = t4.reshape(nb, ns3p * s3, nrhs)[:, :rp]
+                    delta = jnp.einsum("brc,brn->bcn", bl, t,
+                                       preferred_element_type=vv.dtype)
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        dx, delta, b0, axis=0), None
+
+                dx0, _ = jax.lax.scan(step, dx0, b0lo)
+                dxs[bi] = dx0
             return dxs
 
         def dense_below_fwd(vv, info, xs, belows, aux):
@@ -1992,6 +2380,9 @@ class PlannedBackend:
                         if info["dense"].get("mode") == "w":
                             vv = dense_below_fwd_w(vv, info, xs, belows,
                                                    aux)
+                        elif info["dense"].get("sg") is not None:
+                            vv = dense_below_fwd_sg(vv, info, xs, belows,
+                                                    aux)
                         else:
                             vv = dense_below_fwd(vv, info, xs, belows,
                                                  aux)
@@ -2019,6 +2410,8 @@ class PlannedBackend:
                         dxs = {}
                     elif info["dense"].get("mode") == "w":
                         dxs = dense_dx_w(vv, info, belows, aux)
+                    elif info["dense"].get("sg") is not None:
+                        dxs = dense_dx_sg(vv, info, belows, aux)
                     else:
                         dxs = dense_dx(vv, info, belows, aux)
                     for bi, idxs, slot in info["out"]:

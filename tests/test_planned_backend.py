@@ -131,6 +131,77 @@ def test_dense_w_and_oh_modes_agree():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_dense_sg_and_row_modes_agree():
+    """The span-granular one-hot accumulation (sg) must match the
+    row-granular form on factor AND solve for a span-uniform Schur set
+    (reference family: FLAT+SCHUR, TestingMatGen.cpp schur sets)."""
+    import os
+
+    gen = SparseMatGenerator.gen_flat(60, 0.3, seed=5)
+    gen.add_schur_set(400, 0.06)
+    ss = gen.to_structure()
+    psize = np.full(460, 3)
+    results = {}
+    for mode in ("sg", "row"):
+        os.environ["BASPACHO_FORCE_DENSE_MODE"] = mode
+        try:
+            solver = create_solver(Settings(backend=BackendType.PLANNED),
+                                   psize, ss, sparse_elim_ranges=[0, 400])
+            sched = solver.backend._factor_schedule(
+                0, solver.skel.num_lumps)
+            has_sg = any(lev[3] is not None and
+                         lev[3].get("sg") is not None for lev in sched)
+            assert has_sg == (mode == "sg")
+            data = random_spd_data(solver.data_size, solver.order, 3)
+            data = np.asarray(solver.skel.damp(data, 0.0,
+                                               solver.order * 1.5))
+            f = solver.factor(data)
+            rhs = np.random.RandomState(2).rand(solver.order, 2)
+            x = solver.solve(f, rhs)
+            results[mode] = (np.asarray(f), np.asarray(x))
+        finally:
+            os.environ.pop("BASPACHO_FORCE_DENSE_MODE", None)
+    np.testing.assert_allclose(results["sg"][0], results["row"][0],
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(results["sg"][1], results["row"][1],
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_dense_sg_triangular_full_space():
+    """Random-fill Schur sets have no compact-space locality: the sg
+    accumulation must switch to full-space chunks with a lower
+    block-triangle + mirror (tri), and still match the row form."""
+    import os
+
+    gen = SparseMatGenerator.gen_flat(350, 0.1, seed=7)
+    gen.add_schur_set(1200, 0.04)
+    ss = gen.to_structure()
+    psize = np.full(1550, 3)
+    results = {}
+    for mode in ("sg", "row"):
+        os.environ["BASPACHO_FORCE_DENSE_MODE"] = mode
+        try:
+            solver = create_solver(Settings(backend=BackendType.PLANNED),
+                                   psize, ss, sparse_elim_ranges=[0, 1200])
+            if mode == "sg":
+                sched = solver.backend._factor_schedule(
+                    0, solver.skel.num_lumps)
+                tris = [lev[3]["sg"]["tri"] for lev in sched
+                        if lev[3] is not None and
+                        lev[3].get("sg") is not None]
+                assert tris and tris[0] is not None, \
+                    "expected triangular blocking on the random-fill level"
+            data = random_spd_data(solver.data_size, solver.order, 3)
+            data = np.asarray(solver.skel.damp(data, 0.0,
+                                               solver.order * 1.5))
+            f = solver.factor(data)
+            results[mode] = np.asarray(f)
+        finally:
+            os.environ.pop("BASPACHO_FORCE_DENSE_MODE", None)
+    np.testing.assert_allclose(results["sg"], results["row"],
+                               rtol=1e-8, atol=1e-10)
+
+
 def test_dense_update_run_crossing_diag_below_boundary():
     """Regression: a dense-update row run whose below span is id-consecutive
     with the target's own spans must split at the diag/below storage
