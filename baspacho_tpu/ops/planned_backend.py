@@ -1286,27 +1286,75 @@ class PlannedBackend:
                            for j in range(n)], axis=-1) for i in range(n)]
         return jnp.stack(rows, axis=1)
 
+    def _blocked_lower_inv(self, L, dtype):
+        """Full inverse of a batched wide lower-triangular (B, cp, cp) L,
+        cp a multiple of SOLVE_BLOCK: one batched 512-block triangular
+        solve for the diagonal-block inverses, then a block-row sweep
+        X[i,:i] = -Dinv[i] (L[i,:i] X[:i,:i]) — O(nb) matmuls instead of
+        a cp-deep substitution. Only the (block-)lower part of L is read,
+        so the junk the blocked factor leaves right of its panels is
+        harmless."""
+        B, cp = L.shape[0], L.shape[1]
+        bs = self.SOLVE_BLOCK
+        nb = cp // bs
+        assert cp % bs == 0, "padded widths are 512-multiples above 512"
+        blocks = jnp.stack([L[:, k * bs:(k + 1) * bs, k * bs:(k + 1) * bs]
+                            for k in range(nb)], axis=1)
+        eye = jnp.eye(bs, dtype=dtype)[None, None]
+        dinv = jax.lax.linalg.triangular_solve(
+            blocks.reshape(B * nb, bs, bs),
+            jnp.broadcast_to(eye, (B, nb, bs, bs)).reshape(B * nb, bs, bs),
+            left_side=True, lower=True).reshape(B, nb, bs, bs)
+        X = jnp.zeros_like(L)
+        for k in range(nb):
+            X = X.at[:, k * bs:(k + 1) * bs, k * bs:(k + 1) * bs].set(
+                dinv[:, k])
+        for i in range(1, nb):
+            r0 = i * bs
+            S = jnp.einsum("brj,bjc->brc", L[:, r0:r0 + bs, :r0],
+                           X[:, :r0, :r0], preferred_element_type=dtype)
+            X = X.at[:, r0:r0 + bs, :r0].set(-jnp.einsum(
+                "bri,bic->brc", dinv[:, i], S,
+                preferred_element_type=dtype))
+        return X
+
+    def _lower_inv(self, L, cp, dtype):
+        """Batched lower-triangular inverse for any panel width (L must
+        carry unit diagonal on padded columns, i.e. include pad_eye)."""
+        if cp <= self.UNROLL_CP:
+            return self._unrolled_lower_inv(L)
+        if cp <= self.SOLVE_BLOCK:
+            B = L.shape[0]
+            eye = jnp.broadcast_to(jnp.eye(cp, dtype=dtype)[None],
+                                   (B, cp, cp))
+            return jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True)
+        return self._blocked_lower_inv(L, dtype)
+
     def _factor_panels(self, diag_in, below_in, cp, dtype):
         """potrf + trsm on batched (B, cp, cp) diagonals with optional
-        (B, rp, cp) below panels; returns (L, x_or_None)."""
+        (B, rp, cp) below panels; returns (L, x_or_None, Linv).
+
+        Linv (the explicit inverse of L) serves two roles: the below trsm
+        becomes a batched matmul (MXU-friendly), and the factor stores it
+        in the diag block's otherwise-unused strict upper triangle so the
+        solve needs ONE matmul per bucket instead of a triangular solve
+        (solve latency is per-op-overhead bound — measured)."""
         if cp <= self.UNROLL_CP:
             L = self._unrolled_chol(diag_in)
-            x = None
-            if below_in is not None:
-                Linv = self._unrolled_lower_inv(L)
-                # x L^T = below  =>  x = below L^-T
-                x = jnp.einsum("brk,bjk->brj", below_in, Linv,
-                               preferred_element_type=dtype)
-            return L, x
-        if cp <= self.BLOCK:
+        elif cp <= self.BLOCK:
             L = jax.lax.linalg.cholesky(diag_in, symmetrize_input=False)
-            x = None
-            if below_in is not None:
-                x = jax.lax.linalg.triangular_solve(
-                    L, below_in, left_side=False, lower=True,
-                    transpose_a=True)
-            return L, x
-        return self._blocked_factor(diag_in, below_in, dtype)
+        else:
+            L, below_in = self._blocked_factor(diag_in, below_in, dtype)
+            Linv = self._blocked_lower_inv(L, dtype)
+            return L, below_in, Linv
+        Linv = self._lower_inv(L, cp, dtype)
+        x = None
+        if below_in is not None:
+            # x L^T = below  =>  x = below L^-T
+            x = jnp.einsum("brk,bjk->brj", below_in, Linv,
+                           preferred_element_type=dtype)
+        return L, x, Linv
 
     def _factor_bucket(self, ext, lb: LumpBucket, want_below=False):
         """Batched potrf + trsm of one bucket; returns (ext, flat_prod) or
@@ -1322,18 +1370,34 @@ class PlannedBackend:
         pad_eye = self._pad_eye(lb.cols, lb.cp, ext.dtype)
         diag_in = panels[:, :lb.cp] + pad_eye
         below_in = panels[:, lb.cp:] if lb.rp > 0 else None
-        L, x = self._factor_panels(diag_in, below_in, lb.cp, ext.dtype)
+        L, x, Linv = self._factor_panels(diag_in, below_in, lb.cp,
+                                         ext.dtype)
+        diag_store = self._embed_inv(L, Linv, pad_eye)
         prod = None
         if x is not None:
-            new_panels = jnp.concatenate([L - pad_eye, x], axis=1)
+            new_panels = jnp.concatenate([diag_store, x], axis=1)
             if not want_below:
                 prod = jnp.einsum(
                     "brk,bsk->brs", x, x,
                     preferred_element_type=ext.dtype).reshape(-1)
         else:
-            new_panels = L - pad_eye
+            new_panels = diag_store
         ext = self._write_panels(ext, lb, new_panels)
         return ext, (x if want_below else prod)
+
+    @staticmethod
+    def _embed_inv(L, Linv, pad_eye):
+        """Stored diag block: L on/below the diagonal (minus the padding
+        identity so padded slots stay zero), Linv^T strictly above it.
+        The strict upper of a diagonal block is dead storage in the
+        coalesced layout (densify/tests only read the lower half), so the
+        factor ships its own inverse for free."""
+        cp = L.shape[1]
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 1)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 2)
+        lower = jnp.where(i_ >= j_, L - pad_eye, 0.0)
+        upper = jnp.where(i_ < j_, jnp.swapaxes(Linv, 1, 2), 0.0)
+        return lower + upper
 
     def _apply_pairs(self, ext, flat, pair_buckets, aux):
         """Subtract all run blocks from the product buffer into the factor
@@ -1753,9 +1817,11 @@ class PlannedBackend:
         pad_eye = self._pad_eye(my_cols, lb.cp, ext.dtype)
         diag_in = panels[:, :lb.cp] + pad_eye
         below_in = panels[:, lb.cp:] if lb.rp > 0 else None
-        L, x = self._factor_panels(diag_in, below_in, lb.cp, ext.dtype)
-        newp = jnp.concatenate([L - pad_eye, x], axis=1) \
-            if x is not None else L - pad_eye
+        L, x, Linv = self._factor_panels(diag_in, below_in, lb.cp,
+                                         ext.dtype)
+        diag_store = self._embed_inv(L, Linv, pad_eye)
+        newp = jnp.concatenate([diag_store, x], axis=1) \
+            if x is not None else diag_store
         allp = jax.lax.all_gather(newp, axis_name)
         full = allp.reshape(N * Bs, h, lb.cp)[:B]
         ext = self._write_panels(ext, lb, full)
@@ -1944,11 +2010,30 @@ class PlannedBackend:
         return jax.lax.linalg.triangular_solve(
             L, x, left_side=True, lower=True, transpose_a=transpose)
 
+    def _tri_stored(self, P, cols, x, transpose):
+        """Diagonal solve against the inverse the factor embedded in the
+        stored diag block (see _embed_inv): reconstruct Linv = strict
+        upper transposed + 1/diag, then ONE batched matmul — no
+        triangular_solve primitive anywhere in the hot solve program."""
+        cp = P.shape[1]
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 1)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 2)
+        d = jnp.diagonal(P, axis1=1, axis2=2)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+        dinv = jnp.where(ri < jnp.asarray(cols)[:, None], 1.0 / d, 1.0)
+        Linv = jnp.where(i_ > j_, jnp.swapaxes(P, 1, 2),
+                         jnp.where(i_ == j_, dinv[:, :, None], 0.0))
+        eq = "bji,bjn->bin" if transpose else "bij,bjn->bin"
+        return jnp.einsum(eq, Linv, x, preferred_element_type=x.dtype)
+
     def _diag_solve(self, ext, vv, sb: LumpBucket, order, transpose,
-                    bidx=None, dx=None, ret_xb=False):
+                    bidx=None, dx=None, ret_xb=False, use_inv=False):
         """One bucket's diagonal solve. `bidx` (below-row RHS positions)
         enables the scatter-based below update; dense levels pass None and
-        route below updates through compact accumulators instead."""
+        route below updates through compact accumulators instead.
+        `use_inv` selects the stored-inverse matmul path (valid only on
+        data produced by this backend's factor, which embeds Linv in the
+        diag block's strict upper — pseudo-factored data doesn't)."""
         cp = sb.cp
         # fusion fence on the RHS vector: same scatter->gather chain
         # compile blow-up as _factor_bucket (see comment there), on vv
@@ -1956,7 +2041,8 @@ class PlannedBackend:
         # solve program
         vv = jax.lax.optimization_barrier(vv)
         panels = self._read_panels(ext, sb)
-        L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
+        if not use_inv:
+            L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
         below = panels[:, cp:] if sb.rp > 0 else None
         xidx = self._bucket_xidx(sb, order)
         x = vv[xidx]
@@ -1966,7 +2052,10 @@ class PlannedBackend:
             tmp = vv[bidx]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
-        x = self._tri(L, x, transpose)
+        if use_inv:
+            x = self._tri_stored(panels[:, :cp], sb.cols, x, transpose)
+        else:
+            x = self._tri(L, x, transpose)
         vv = vv.at[xidx].set(x)
         if not transpose and below is not None and bidx is not None:
             y = jnp.einsum("brk,bkn->brn", below, x,
@@ -1985,10 +2074,17 @@ class PlannedBackend:
                     aux_np.append(sb.below_idx)
         return aux_np
 
+    def _full_range(self, start_lump: int, end_lump: int) -> bool:
+        """Stored-inverse solves only apply to the full factor range:
+        partial solves also run on pseudo-factored data (Gauss-Seidel
+        preconditioner), which carries no embedded inverse."""
+        return start_lump == 0 and end_lump == self.plan.skel.num_lumps
+
     def make_solve_l(self, start_lump: int, end_lump: int):
         sched = self._solve_schedule(start_lump, end_lump)
         order = self.plan.skel.order
         aux_np = self._solve_aux(sched)
+        use_inv = self._full_range(start_lump, end_lump)
 
         def solve_l(data, v, aux):
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
@@ -1996,7 +2092,8 @@ class PlannedBackend:
             for buckets in sched:
                 for sb in buckets:
                     bidx = aux[sb.aux_slot] if sb.rp > 0 else None
-                    vv = self._diag_solve(ext, vv, sb, order, False, bidx)
+                    vv = self._diag_solve(ext, vv, sb, order, False, bidx,
+                                          use_inv=use_inv)
             return vv[:order]
 
         return solve_l, aux_np
@@ -2005,6 +2102,7 @@ class PlannedBackend:
         sched = self._solve_schedule(start_lump, end_lump)
         order = self.plan.skel.order
         aux_np = self._solve_aux(sched)
+        use_inv = self._full_range(start_lump, end_lump)
 
         def solve_lt(data, v, aux):
             ext = jnp.concatenate([data, jnp.zeros(2, data.dtype)])
@@ -2012,10 +2110,112 @@ class PlannedBackend:
             for buckets in reversed(sched):
                 for sb in buckets:
                     bidx = aux[sb.aux_slot] if sb.rp > 0 else None
-                    vv = self._diag_solve(ext, vv, sb, order, True, bidx)
+                    vv = self._diag_solve(ext, vv, sb, order, True, bidx,
+                                          use_inv=use_inv)
             return vv[:order]
 
         return solve_lt, aux_np
+
+    # -- scan-folded solve levels ---------------------------------------
+    SCAN_WASTE = 8.0  # padded/actual volume cap when folding levels
+
+    def _partition_scan_groups(self, pend):
+        """Greedy split of a run of consecutive plain solve levels (each a
+        bucket list) so the common-padded scan volume stays within
+        SCAN_WASTE x the actual panel volume."""
+        def stats(levs):
+            Bp = max(sum(len(lb.off) for lb in bs) for bs in levs)
+            cpm = max(lb.cp for bs in levs for lb in bs)
+            hm = max(lb.cp + lb.rp for bs in levs for lb in bs)
+            act = sum(len(lb.off) * (lb.cp + lb.rp) * lb.cp
+                      for bs in levs for lb in bs)
+            return Bp, cpm, hm, act
+
+        out, cur = [], []
+        for item in pend:
+            trial = cur + [item]
+            Bp, cpm, hm, act = stats(trial)
+            if cur and len(trial) * Bp * hm * cpm > self.SCAN_WASTE * act:
+                out.append(cur)
+                cur = [item]
+            else:
+                cur = trial
+        if cur:
+            out.append(cur)
+        return out
+
+    def _build_scan_group(self, levels):
+        """Stack a run of consecutive solve levels into per-level index
+        arrays of one common padded shape, so the run executes as ONE
+        lax.scan instead of ~8 XLA ops per level (solve latency is per-op
+        overhead bound — measured; a 13-level grid tree costs ~23 ms
+        unrolled, ~3 ms scanned). Panel rows are gathered row-granularly
+        (start = panel offset + r*storage stride), which lets lumps of
+        different storage widths share one tile: overread columns are
+        masked to zero, absent rows point at the zero margin past the
+        data. Requires the stored-inverse diag solve (_tri_stored)."""
+        sk = self.plan.skel
+        order = sk.order
+        zoff = int(sk.data_size)
+        Bp = max(sum(len(lb.off) for lb in bs) for bs in levels)
+        cpm = max(lb.cp for bs in levels for lb in bs)
+        rpm = max(lb.rp for bs in levels for lb in bs)
+        hm = cpm + rpm
+        L = len(levels)
+        rstart = np.full((L, Bp * hm), zoff, dtype=np.int32)
+        cols = np.zeros((L, Bp), dtype=np.int32)
+        voff = np.full((L, Bp), order, dtype=np.int32)
+        bidx = np.full((L, Bp, max(rpm, 1)), order, dtype=np.int32)
+        for li, bs in enumerate(levels):
+            rs = rstart[li].reshape(Bp, hm)
+            i = 0
+            for lb in bs:
+                n = len(lb.off)
+                cp, rp = lb.cp, lb.rp
+                r = np.arange(cp, dtype=np.int32)
+                rs[i:i + n, :cp] = lb.off[:, None] + r[None, :] * cp
+                if rp > 0:
+                    rb = np.arange(rp, dtype=np.int32)
+                    rs[i:i + n, cpm:cpm + rp] = \
+                        lb.off[:, None] + (cp + rb[None, :]) * cp
+                    bidx[li, i:i + n, :rp] = lb.below_idx
+                cols[li, i:i + n] = lb.cols
+                voff[li, i:i + n] = lb.vec_off
+                i += n
+        return {"L": L, "Bp": Bp, "cpm": cpm, "rpm": rpm,
+                "rstart": rstart, "cols": cols, "voff": voff,
+                "bidx": bidx.reshape(L, -1)}
+
+    def _scan_solve_step(self, ext, vv, inp, cpm, rpm, order, transpose):
+        """One level of a scan-folded solve (body traced once per group)."""
+        rst, cols, voff, bx = inp
+        Bp = cols.shape[0]
+        hm = cpm + rpm
+        vv = jax.lax.optimization_barrier(vv)
+        gnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+        tile = jax.lax.gather(ext, rst[:, None], gnums,
+                              slice_sizes=(cpm,)).reshape(Bp, hm, cpm)
+        jm = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cpm), 2)
+        tile = jnp.where(jm < cols[:, None, None], tile, 0.0)
+        P = tile[:, :cpm]
+        below = tile[:, cpm:] if rpm > 0 else None
+        bx = bx.reshape(Bp, max(rpm, 1))
+        xr = jax.lax.broadcasted_iota(jnp.int32, (1, cpm), 1)
+        xidx = jnp.where(xr < cols[:, None], voff[:, None] + xr, order)
+        x = vv[xidx]
+        if transpose and below is not None:
+            tmp = vv[bx]
+            x = x - jnp.einsum("brk,brn->bkn", below, tmp,
+                               preferred_element_type=vv.dtype)
+        x = self._tri_stored(P, cols, x, transpose)
+        vv = vv.at[xidx].set(x)
+        if not transpose and below is not None:
+            y = jnp.einsum("brk,bkn->brn", below, x,
+                           preferred_element_type=vv.dtype)
+            vv = vv.at[bx].add(-y)
+        return vv
 
     # -- fused full solve (single XLA program: L pass + Lt pass) --------
     VEC_SLICE_UNROLL = 96
@@ -2032,13 +2232,47 @@ class PlannedBackend:
             on BA problems those scatters have thousands-deep collisions
             (every landmark hits the same few camera rows)."""
         fsched = self._factor_schedule(start_lump, end_lump)
+        use_inv = self._full_range(start_lump, end_lump)
         sk = self.plan.skel
         order = sk.order
         aux_np = []
         levels = []
         margin = 2
+        pend = []  # consecutive plain levels, folded into lax.scans
+
+        def add_plain(lump_buckets):
+            nonlocal margin
+            fused = self._fuse_same_cp(lump_buckets)
+            info = {"buckets": fused, "dense": None, "bidx": {}}
+            for i, sb in enumerate(fused):
+                if sb.rp > 0:
+                    info["bidx"][i] = len(aux_np)
+                    aux_np.append(sb.below_idx)
+                if not sb.contiguous:
+                    margin = max(margin, (sb.cp + sb.rp) * sb.cp)
+            levels.append(info)
+
+        def flush_plain():
+            nonlocal margin
+            if not pend:
+                return
+            for grp in self._partition_scan_groups(pend):
+                if len(grp) == 1:
+                    add_plain(grp[0])
+                    continue
+                sg = self._build_scan_group(grp)
+                slots = []
+                for k in ("rstart", "cols", "voff", "bidx"):
+                    slots.append(len(aux_np))
+                    aux_np.append(sg[k])
+                margin = max(margin, sg["cpm"])
+                levels.append({"dense": None, "scan": sg,
+                               "slots": tuple(slots)})
+            pend.clear()
+
         for lump_buckets, pair_buckets, ptot, dense in fsched:
             if dense is not None:
+                flush_plain()
                 info = {"buckets": lump_buckets, "dense": dense,
                         "slots": {}, "gslots": {}, "bidx": {}}
                 for bi, rm in enumerate(dense["row_maps"]):
@@ -2073,15 +2307,12 @@ class PlannedBackend:
                     aux_np.append(cidx)
                 levels.append(info)
             else:
-                fused = self._fuse_same_cp(lump_buckets)
-                info = {"buckets": fused, "dense": None, "bidx": {}}
-                for i, sb in enumerate(fused):
-                    if sb.rp > 0:
-                        info["bidx"][i] = len(aux_np)
-                        aux_np.append(sb.below_idx)
-                    if not sb.contiguous:
-                        margin = max(margin, (sb.cp + sb.rp) * sb.cp)
-                levels.append(info)
+                if use_inv:
+                    # scan folding needs the stored-inverse diag solve
+                    pend.append(lump_buckets)
+                else:
+                    add_plain(lump_buckets)
+        flush_plain()
 
         def xcat_of(info, xs, nrhs, dtype):
             """Concatenate per-bucket solved values (B, cp, nrhs) into
@@ -2367,13 +2598,28 @@ class PlannedBackend:
             nrhs = v.shape[1]
             ext = jnp.concatenate([data, jnp.zeros(margin, data.dtype)])
             vv = jnp.concatenate([v, jnp.zeros((1, nrhs), v.dtype)])
+            def run_scan(vv, info, transpose):
+                sg = info["scan"]
+                s0, s1, s2, s3 = info["slots"]
+                inp = (aux[s0], aux[s1], aux[s2], aux[s3])
+
+                def step(vvc, i, cpm=sg["cpm"], rpm=sg["rpm"]):
+                    return self._scan_solve_step(
+                        ext, vvc, i, cpm, rpm, order, transpose), None
+
+                vv, _ = jax.lax.scan(step, vv, inp, reverse=transpose)
+                return vv
+
             # forward (L) pass
             for info in levels:
-                if info["dense"] is not None:
+                if info.get("scan") is not None:
+                    vv = run_scan(vv, info, False)
+                elif info["dense"] is not None:
                     xs, belows = {}, {}
                     for bi, sb in enumerate(info["buckets"]):
                         vv, x, below = self._diag_solve(
-                            ext, vv, sb, order, False, ret_xb=True)
+                            ext, vv, sb, order, False, ret_xb=True,
+                            use_inv=use_inv)
                         if below is not None:
                             xs[bi], belows[bi] = x, below
                     if xs:
@@ -2397,10 +2643,12 @@ class PlannedBackend:
                         bidx = aux[info["bidx"][i]] \
                             if i in info["bidx"] else None
                         vv = self._diag_solve(ext, vv, sb, order, False,
-                                              bidx)
+                                              bidx, use_inv=use_inv)
             # backward (Lt) pass
             for info in reversed(levels):
-                if info["dense"] is not None:
+                if info.get("scan") is not None:
+                    vv = run_scan(vv, info, True)
+                elif info["dense"] is not None:
                     belows = {}
                     for bi, sb in enumerate(info["buckets"]):
                         if sb.rp > 0:
@@ -2432,13 +2680,13 @@ class PlannedBackend:
                         if dx is not None:
                             dx = dx[:len(sb.off)]
                         vv = self._diag_solve(ext, vv, sb, order, True,
-                                              dx=dx)
+                                              dx=dx, use_inv=use_inv)
                 else:
                     for i, sb in enumerate(info["buckets"]):
                         bidx = aux[info["bidx"][i]] \
                             if i in info["bidx"] else None
                         vv = self._diag_solve(ext, vv, sb, order, True,
-                                              bidx)
+                                              bidx, use_inv=use_inv)
             return vv[:order]
 
         return solve, aux_np

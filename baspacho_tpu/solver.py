@@ -250,6 +250,74 @@ class Solver:
             out = fn(data, v, aux)
         return out[..., 0] if vec1d else out
 
+    # -- chained executions (benchmarking aid) ---------------------------
+    @staticmethod
+    def _chain_factor(built):
+        raw, aux_np = built
+
+        def chain(data, k, aux):
+            return jax.lax.fori_loop(0, k, lambda i, d: raw(d, aux), data)
+
+        return chain, aux_np
+
+    @staticmethod
+    def _chain_solve(built):
+        raw, aux_np = built
+
+        def chain(data, v, k, aux):
+            return jax.lax.fori_loop(0, k,
+                                     lambda i, y: raw(data, y, aux), v)
+
+        return chain, aux_np
+
+    def factor_chained(self, data, k: int):
+        """k back-to-back factor executions inside ONE program, each
+        feeding the next (timing use only — iterations past the first
+        factor an already-factored buffer, so values are garbage).
+        Differencing two chain lengths isolates pure per-factor device
+        time from host/dispatch latency: on this tunneled dev platform
+        the per-drain cost is 35-55 ms with ~18 ms quantization
+        (measured), swamping ms-scale single dispatches. The trip count
+        is a runtime operand — one compile serves every k."""
+        data = jnp.asarray(data)
+        self._check_data(data)
+        n = self.skel.num_lumps
+        if data.ndim == 1:
+            fn, aux = self._get(("factorChain", 0, n, 1),
+                                lambda: self._chain_factor(
+                                    self.backend.make_factor(0, n)))
+        else:
+            fn, aux = self._get(("factorChain", 0, n, 2),
+                                lambda: self._chain_factor(
+                                    self.backend.make_factor(0, n)),
+                                vmap_axes=(0, None))
+        return fn(data, jnp.asarray(k, jnp.int32), aux)
+
+    def solve_chained(self, mat_data, rhs, k: int):
+        """k back-to-back solve executions inside ONE program (x_{i+1} =
+        A^-1 x_i); see factor_chained for why."""
+        data = jnp.asarray(mat_data)
+        v = jnp.asarray(rhs)
+        self._check_data(data)
+        batched = data.ndim == 2
+        self._check_rhs(v, batched)
+        vec1d = v.ndim == (2 if batched else 1)
+        if vec1d:
+            v = v[..., None]
+        n = self.skel.num_lumps
+        make = (self.backend.make_solve
+                if hasattr(self.backend, "make_solve") else
+                self.backend.make_solve_l)
+        if not batched:
+            fn, aux = self._get(("solveChain", 0, n, 1),
+                                lambda: self._chain_solve(make(0, n)))
+        else:
+            fn, aux = self._get(("solveChain", 0, n, 2),
+                                lambda: self._chain_solve(make(0, n)),
+                                vmap_axes=(0, 0, None))
+        out = fn(data, v, jnp.asarray(k, jnp.int32), aux)
+        return out[..., 0] if vec1d else out
+
     # -- factor ---------------------------------------------------------
     def factor(self, data):
         return self.factor_up_to(data, self.skel.num_spans)

@@ -68,6 +68,34 @@ def _force(res):
     float(r.ravel()[0])
 
 
+def time_device(chain, budget_s=1.2):
+    """Per-op DEVICE time via in-program chaining: `chain(k)` runs k
+    back-to-back executions inside one XLA program (runtime trip count,
+    single compile). The reported time is the slope between two chain
+    lengths, which cancels both the per-dispatch overhead and the
+    platform's fixed drain latency (measured on this tunneled dev setup:
+    35-55 ms per readback, quantized in ~18 ms ticks — it would otherwise
+    dominate every ms-scale op). This matches how the op is deployed: an
+    LM iteration dispatches factor+solve inside one jitted step, paying
+    the program-level latency once, not per op."""
+    _force(chain(2))  # compile + warm
+    t0 = time.perf_counter()
+    _force(chain(8))
+    t8 = time.perf_counter() - t0
+    t_est = max((t8 - 0.04) / 8, 2e-5)
+    k2 = int(min(512, max(8, budget_s / t_est)))
+    k1 = max(1, k2 // 8)
+    if k2 <= 8:
+        k1 = 1
+    t0 = time.perf_counter()
+    _force(chain(k1))
+    t_k1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _force(chain(k2))
+    t_k2 = time.perf_counter() - t0
+    return max(t_k2 - t_k1, 1e-9) / (k2 - k1)
+
+
 def _splu_baseline(solver, hdata, grad, log):
     """Host CPU sparse-direct baseline (scipy SuperLU) on the identical
     full system: the role CHOLMOD plays in the reference's benchmarks."""
@@ -178,6 +206,10 @@ def main():
                     choices=["highest", "high", "default"],
                     help="MXU matmul precision for numeric ops")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--dispatch-timing", action="store_true",
+                    help="time factor/solve as n host dispatches instead "
+                         "of the default in-program chained device "
+                         "timing (see time_device)")
     ap.add_argument("--select", default=None,
                     help="regex over synthetic problem names; all matches "
                          "run in sequence (reference bench -S)")
@@ -309,14 +341,20 @@ def _run_batch(args, dtype):
             0.0, solver.order * 1.5), dtype=dtype)
         for s in range(4)] * (B // 4))
     jd = jax.device_put(datas)
-    t = time_op(lambda: solver.factor(jd), n=args.reps)
+    if args.dispatch_timing:
+        t = time_op(lambda: solver.factor(jd), n=args.reps)
+    else:
+        t = time_device(lambda k: solver.factor_chained(jd, k))
     per_matrix = t / B
     log(f"[batch] batched factor: {t*1e3:.2f} ms total, "
         f"{per_matrix*1e6:.1f} us/matrix")
     fb = solver.factor(jd)
     rhsb = jax.device_put(np.random.RandomState(0).rand(
         B, solver.order, 1).astype(dtype))
-    tsol = time_op(lambda: solver.solve(fb, rhsb), n=args.reps)
+    if args.dispatch_timing:
+        tsol = time_op(lambda: solver.solve(fb, rhsb), n=args.reps)
+    else:
+        tsol = time_device(lambda k: solver.solve_chained(fb, rhsb, k))
     log(f"[batch] batched solve: {tsol*1e3:.2f} ms total, "
         f"{tsol/B*1e6:.1f} us/matrix "
         f"(reference CUDA batch-16 solve ~1.2 ms/matrix)")
@@ -357,9 +395,14 @@ def _run_synthetic(name, make, args, dtype):
     rhs = jax.device_put(
         np.random.RandomState(0).rand(solver.order, nrhs).astype(dtype))
 
-    tf = time_op(lambda: solver.factor(jd), n=args.reps)
-    f = solver.factor(jd)
-    ts = time_op(lambda: solver.solve(f, rhs), n=args.reps)
+    if args.dispatch_timing:
+        tf = time_op(lambda: solver.factor(jd), n=args.reps)
+        f = solver.factor(jd)
+        ts = time_op(lambda: solver.solve(f, rhs), n=args.reps)
+    else:
+        tf = time_device(lambda k: solver.factor_chained(jd, k))
+        f = solver.factor(jd)
+        ts = time_device(lambda k: solver.solve_chained(f, rhs, k))
     log(f"[{name}] factor: {tf*1e3:.2f} ms   "
         f"solve({nrhs} rhs): {ts*1e3:.2f} ms")
 
