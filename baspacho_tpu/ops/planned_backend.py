@@ -2052,15 +2052,20 @@ class PlannedBackend:
             tmp = vv[bidx]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
+        x0 = x
         if use_inv:
             x = self._tri_stored(panels[:, :cp], sb.cols, x, transpose)
         else:
             x = self._tri(L, x, transpose)
-        vv = vv.at[xidx].set(x)
         if not transpose and below is not None and bidx is not None:
+            # one fused scatter-add (see _scan_solve_step)
             y = jnp.einsum("brk,bkn->brn", below, x,
                            preferred_element_type=vv.dtype)
-            vv = vv.at[bidx].add(-y)
+            idx = jnp.concatenate([xidx, bidx], axis=1)
+            upd = jnp.concatenate([x - x0, -y], axis=1)
+            vv = vv.at[idx].add(upd)
+        else:
+            vv = vv.at[xidx].set(x)
         if ret_xb:
             return vv, x, below
         return vv
@@ -2118,6 +2123,10 @@ class PlannedBackend:
 
     # -- scan-folded solve levels ---------------------------------------
     SCAN_WASTE = 8.0  # padded/actual volume cap when folding levels
+    SCAN_CP_MAX = 16  # row-granular gathers are ~7-9 ns/row for short
+    #                   slices but fall off a ~1.1 us/row DMA cliff above
+    #                   ~128 floats (measured); wide levels stay unrolled
+    #                   on contiguous panel reads instead
 
     def _partition_scan_groups(self, pend):
         """Greedy split of a run of consecutive plain solve levels (each a
@@ -2209,13 +2218,16 @@ class PlannedBackend:
             tmp = vv[bx]
             x = x - jnp.einsum("brk,brn->bkn", below, tmp,
                                preferred_element_type=vv.dtype)
-        x = self._tri_stored(P, cols, x, transpose)
-        vv = vv.at[xidx].set(x)
+        x1 = self._tri_stored(P, cols, x, transpose)
         if not transpose and below is not None:
-            y = jnp.einsum("brk,bkn->brn", below, x,
+            # one fused scatter-add: x rows as (x1 - x0) deltas + below
+            # updates (disjoint targets except the sentinel row)
+            y = jnp.einsum("brk,bkn->brn", below, x1,
                            preferred_element_type=vv.dtype)
-            vv = vv.at[bx].add(-y)
-        return vv
+            idx = jnp.concatenate([xidx, bx], axis=1)
+            upd = jnp.concatenate([x1 - x, -y], axis=1)
+            return vv.at[idx].add(upd)
+        return vv.at[xidx].set(x1)
 
     # -- fused full solve (single XLA program: L pass + Lt pass) --------
     VEC_SLICE_UNROLL = 96
@@ -2307,10 +2319,13 @@ class PlannedBackend:
                     aux_np.append(cidx)
                 levels.append(info)
             else:
-                if use_inv:
+                if use_inv and max(lb.cp for lb in lump_buckets) \
+                        <= self.SCAN_CP_MAX:
                     # scan folding needs the stored-inverse diag solve
+                    # and gather-cheap (short-slice) panel rows
                     pend.append(lump_buckets)
                 else:
+                    flush_plain()
                     add_plain(lump_buckets)
         flush_plain()
 
@@ -2687,6 +2702,134 @@ class PlannedBackend:
                             if i in info["bidx"] else None
                         vv = self._diag_solve(ext, vv, sb, order, True,
                                               bidx, use_inv=use_inv)
+            return vv[:order]
+
+        return solve, aux_np
+
+    def make_solve_sharded(self, start_lump: int, end_lump: int,
+                           axis_name: str, n_shards: int):
+        """Solve to run INSIDE shard_map over a 1-D mesh axis: replicated
+        (data, v) in, replicated solution out. Each level's bucket panels
+        split across the axis; every shard accumulates its panels' RHS
+        updates into a delta vector and ONE psum per level combines them
+        (deltas of a level touch disjoint RHS rows across lumps, except
+        the shared sacrificial sentinel row). Buckets too small to split
+        run replicated with their delta scaled by 1/N. Completes the
+        model-parallel story next to factor_sharded — no reference analog
+        (the reference is single-node). Requires factor data with
+        embedded inverses (factor / factor_sharded output)."""
+        sched = self._solve_schedule(start_lump, end_lump)
+        sk = self.plan.skel
+        order = sk.order
+        dsize = int(sk.data_size)
+        aux_np = []
+        margin = 2
+        levels = []
+        for buckets in sched:
+            binfos = []
+            for lb in buckets:
+                B = len(lb.off)
+                rp, cp = lb.rp, lb.cp
+                h = rp + cp
+                if B >= n_shards * self.SHARD_MIN_B:
+                    Bs = -(-B // n_shards)
+                    Pn = n_shards * Bs
+                    offp = np.full(Pn, dsize, np.int32)
+                    offp[:B] = lb.off
+                    colsp = np.zeros(Pn, np.int32)
+                    colsp[:B] = lb.cols
+                    voffp = np.full(Pn, order, np.int32)
+                    voffp[:B] = lb.vec_off
+                    slot = len(aux_np)
+                    aux_np += [offp, colsp, voffp]
+                    bslot = None
+                    if rp > 0:
+                        bxp = np.full((Pn, rp), order, np.int32)
+                        bxp[:B] = lb.below_idx
+                        bslot = len(aux_np)
+                        aux_np.append(bxp)
+                    margin = max(margin, h * cp)
+                    binfos.append(("shard", lb, Bs, slot, bslot))
+                else:
+                    bslot = None
+                    if rp > 0:
+                        bslot = len(aux_np)
+                        aux_np.append(lb.below_idx)
+                    if not lb.contiguous:
+                        margin = max(margin, h * cp)
+                    binfos.append(("rep", lb, None, None, bslot))
+            levels.append(binfos)
+
+        inv_n = 1.0 / n_shards
+        gnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(),
+            start_index_map=(0,))
+
+        def bucket_delta(ext, vv, delta, info, aux, idx, transpose):
+            kind, lb, Bs, slot, bslot = info
+            cp = lb.cp
+            if kind == "shard":
+                off = jax.lax.dynamic_slice_in_dim(aux[slot], idx * Bs, Bs)
+                cols = jax.lax.dynamic_slice_in_dim(aux[slot + 1],
+                                                    idx * Bs, Bs)
+                voff = jax.lax.dynamic_slice_in_dim(aux[slot + 2],
+                                                    idx * Bs, Bs)
+                bx = None
+                if bslot is not None:
+                    bx = jax.lax.dynamic_slice_in_dim(aux[bslot],
+                                                      idx * Bs, Bs, axis=0)
+                h = cp + lb.rp
+                flat = jax.lax.gather(ext, off[:, None], gnums,
+                                      slice_sizes=(h * cp,))
+                panels = flat.reshape(Bs, h, cp)
+                scale = None
+            else:
+                panels = self._read_panels(ext, lb)
+                cols = jnp.asarray(lb.cols)
+                voff = jnp.asarray(lb.vec_off)
+                bx = aux[bslot] if bslot is not None else None
+                scale = inv_n
+            P = panels[:, :cp]
+            below = panels[:, cp:] if lb.rp > 0 else None
+            xr = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+            xidx = jnp.where(xr < cols[:, None], voff[:, None] + xr, order)
+            x0 = vv[xidx]
+            x = x0
+            if transpose and below is not None and bx is not None:
+                x = x - jnp.einsum("brk,brn->bkn", below, vv[bx],
+                                   preferred_element_type=vv.dtype)
+            x = self._tri_stored(P, cols, x, transpose)
+            dx = x - x0
+            dy = None
+            if not transpose and below is not None and bx is not None:
+                dy = -jnp.einsum("brk,bkn->brn", below, x,
+                                 preferred_element_type=vv.dtype)
+            if scale is not None:
+                dx = scale * dx
+                dy = scale * dy if dy is not None else None
+            delta = delta.at[xidx].add(dx)
+            if dy is not None:
+                delta = delta.at[bx].add(dy)
+            return delta
+
+        def solve(data, v, aux, _skip_l=False, _skip_lt=False):
+            idx = jax.lax.axis_index(axis_name)
+            ext = jnp.concatenate([data, jnp.zeros(margin, data.dtype)])
+            vv = jnp.concatenate([v, jnp.zeros((1, v.shape[1]), v.dtype)])
+            if not _skip_l:
+                for binfos in levels:
+                    delta = jnp.zeros_like(vv)
+                    for info in binfos:
+                        delta = bucket_delta(ext, vv, delta, info, aux,
+                                             idx, False)
+                    vv = vv + jax.lax.psum(delta, axis_name)
+            if not _skip_lt:
+                for binfos in reversed(levels):
+                    delta = jnp.zeros_like(vv)
+                    for info in binfos:
+                        delta = bucket_delta(ext, vv, delta, info, aux,
+                                             idx, True)
+                    vv = vv + jax.lax.psum(delta, axis_name)
             return vv[:order]
 
         return solve, aux_np

@@ -376,6 +376,52 @@ class Solver:
         fn, aux = entry
         return self._timed(self.stats.factor, fn(data, aux))
 
+    def solve_sharded(self, mat_data, rhs, mesh):
+        """Solve ONE system with every level's panel work sharded across
+        the devices of a 1-D `jax.sharding.Mesh`: each shard accumulates
+        its panels' RHS updates into a delta vector, one psum per level
+        combines them over ICI. Completes the model-parallel story next
+        to `factor_sharded` (no reference analog — the reference is
+        single-node). `mat_data` must come from factor/factor_sharded
+        (the solve uses the embedded panel inverses)."""
+        assert hasattr(self.backend, "make_solve_sharded"), \
+            "solve_sharded needs the PLANNED backend"
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        axis = mesh.axis_names[0]
+        n = int(mesh.shape[axis])
+        data = jnp.asarray(mat_data)
+        v = jnp.asarray(rhs)
+        self._check_data(data)
+        assert data.ndim == 1, "solve_sharded shards ONE solve"
+        self._check_rhs(v, False)
+        vec1d = v.ndim == 1
+        if vec1d:
+            v = v[:, None]
+        key = ("solveSharded", axis, n)
+        entry = self._fns.get(key)
+        if entry is None:
+            fn, aux = self.backend.make_solve_sharded(
+                0, self.skel.num_lumps, axis, n)
+            aux = tuple(jnp.asarray(a) for a in aux)
+            wrapped = with_matmul_precision(fn, self.matmul_precision)
+            try:
+                smapped = shard_map(wrapped, mesh=mesh,
+                                    in_specs=(P(), P(), P()),
+                                    out_specs=P(), check_vma=False)
+            except TypeError:  # older jax spelling
+                smapped = shard_map(wrapped, mesh,
+                                    in_specs=(P(), P(), P()),
+                                    out_specs=P(), check_rep=False)
+            entry = (jax.jit(smapped), aux)
+            self._fns[key] = entry
+        fn, aux = entry
+        out = fn(data, v, aux)
+        return out[:, 0] if vec1d else out
+
     # -- solve ----------------------------------------------------------
     def solve(self, mat_data, rhs):
         n = self.skel.num_lumps

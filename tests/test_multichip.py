@@ -125,3 +125,30 @@ def test_single_factor_sharded_over_mesh(case):
     L = np.tril(solver.skel.densify(f_sh))
     dense = solver.skel.densify(data, fill_upper_half=True)
     assert np.max(np.abs(L @ L.T - dense)) / np.abs(dense).max() < 1e-9
+
+
+@pytest.mark.parametrize("case", ["flat", "schur"])
+def test_single_solve_sharded_over_mesh(case):
+    """ONE solve sharded across 8 devices (per-level bucket split, one
+    psum of the RHS delta per level) must match the single-device solve
+    to reduction-order tolerance."""
+    assert len(jax.devices()) >= 8
+    if case == "flat":
+        solver, data = _sharded_case(
+            SparseMatGenerator.gen_flat(150, 0.1, seed=9), np.full(150, 3))
+    else:
+        gen = SparseMatGenerator.gen_flat(40, 0.1, seed=11)
+        gen.add_schur_set(500, 0.03)
+        solver, data = _sharded_case(gen, np.full(540, 2), elim=[0, 500])
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("shard",))
+    f = solver.factor(data)
+    rhs = np.random.RandomState(3).rand(solver.order, 2)
+    got = np.asarray(solver.solve_sharded(f, rhs, mesh))
+    want = np.asarray(solver.solve(f, rhs))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-11)
+    # 1-d rhs path + correctness vs dense oracle
+    got1 = np.asarray(solver.solve_sharded(f, rhs[:, 0], mesh))
+    dense = solver.skel.densify(np.asarray(data), fill_upper_half=True)
+    want1 = np.linalg.solve(dense, rhs[:, 0])
+    assert np.abs(got1 - want1).max() < 1e-8
