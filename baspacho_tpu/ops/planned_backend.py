@@ -1087,12 +1087,14 @@ class PlannedBackend:
     def _fuse_same_cp(self, buckets: List[LumpBucket]) -> List[LumpBucket]:
         """Solve-only bucket fusion: buckets sharing a column width cp can
         be read as one batched (B, cp+rp_max, cp) tensor — rows past a
-        lump's actual panel read the NEXT panel's memory, which is safe
-        because (a) their below-row indices are the `order` sentinel so
-        updates land in the RHS's sacrificial row, and (b) in the
-        transpose pass they multiply the sentinel row's zeros. Solve cost
-        is per-XLA-op overhead dominated (measured), so fewer, fatter ops
-        win despite the padding."""
+        lump's actual panel read the NEXT panel's memory and are masked to
+        zero at read time via `row_cnt` (the per-lump actual below-row
+        count). The mask is load-bearing: without it the L pass scatters
+        garbage into the RHS's sacrificial sentinel row, and the Lt pass
+        of the SAME program then multiplies that dirty sentinel by the
+        garbage rows back into real solution rows (the L/Lt passes share
+        one vv in make_solve). Solve cost is per-XLA-op overhead dominated
+        (measured), so fewer, fatter ops win despite the padding."""
         order = self.plan.skel.order
         by_cp: Dict[int, list] = {}
         for lb in buckets:
@@ -1105,11 +1107,13 @@ class PlannedBackend:
             rp = max(lb.rp for lb in group)
             B = sum(len(lb.off) for lb in group)
             bidx = np.full((B, max(rp, 1)), order, dtype=np.int32)
+            rcnt = np.zeros(B, dtype=np.int32)
             i = 0
             for lb in group:
                 n = len(lb.off)
                 if lb.rp > 0:
                     bidx[i:i + n, :lb.rp] = lb.below_idx
+                rcnt[i:i + n] = lb.rp
                 i += n
             fused = LumpBucket(
                 rp=rp, cp=cp,
@@ -1118,6 +1122,8 @@ class PlannedBackend:
                 cols=np.concatenate([lb.cols for lb in group]),
                 vec_off=np.concatenate([lb.vec_off for lb in group]),
                 below_idx=bidx, contiguous=False)
+            if any(lb.rp != rp for lb in group):
+                fused.row_cnt = rcnt  # overread rows must be masked
             fused.members = np.concatenate(
                 [np.asarray(lb.members) for lb in group])
             out.append(fused)
@@ -2044,6 +2050,14 @@ class PlannedBackend:
         if not use_inv:
             L = panels[:, :cp] + self._pad_eye(sb.cols, cp, ext.dtype)
         below = panels[:, cp:] if sb.rp > 0 else None
+        rcnt = getattr(sb, "row_cnt", None)
+        if below is not None and rcnt is not None:
+            # fused-bucket overread rows hold the NEXT panel's memory;
+            # zero them so they can't dirty the sentinel row (L pass) or
+            # multiply it back into real rows (Lt pass of the same vv)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (1, sb.rp, 1), 1)
+            below = jnp.where(ri < jnp.asarray(rcnt)[:, None, None],
+                              below, 0.0)
         xidx = self._bucket_xidx(sb, order)
         x = vv[xidx]
         if dx is not None:  # dense-path transpose correction
