@@ -2141,6 +2141,41 @@ class PlannedBackend:
     #                   slices but fall off a ~1.1 us/row DMA cliff above
     #                   ~128 floats (measured); wide levels stay unrolled
     #                   on contiguous panel reads instead
+    # measured v5e costs for the fold-vs-unroll decision (round 5): a
+    # grid100 solve was 91.8 ms scan-folded vs 7.2 ms unrolled — the
+    # scan pays Bp*(cpm+rpm) PADDED gather+scatter rows per step, while
+    # unrolled levels touch only actual rows (and contiguous buckets
+    # read panels as plain slices). Folding only wins on deep chains of
+    # small levels where per-bucket op overhead dominates padded rows.
+    SOLVE_OP_US = 17e-6      # per sequential solve-op inside the program
+    SOLVE_DIAG_OPS = 8.0     # XLA ops per unrolled bucket diag-solve
+    SOLVE_SCAN_STEP_OPS = 12.0
+    GATHER_ROW_NS = 9e-9     # short-slice gather, per addressed row
+    SCATTER_ROW_NS = 60e-9   # scatter, per addressed row
+
+    def _scan_fold_pays(self, grp) -> bool:
+        """Cost the group as ONE lax.scan vs unrolled levels (forward
+        pass shape; the backward pass scales both sides similarly)."""
+        L = len(grp)
+        if L < 2:
+            return False
+        Bp = max(sum(len(lb.off) for lb in bs) for bs in grp)
+        cpm = max(lb.cp for bs in grp for lb in bs)
+        hm = max(lb.cp + lb.rp for bs in grp for lb in bs)
+        scan = L * (self.SOLVE_SCAN_STEP_OPS * self.SOLVE_OP_US
+                    + Bp * hm * self.GATHER_ROW_NS
+                    + Bp * hm * self.SCATTER_ROW_NS)
+        unroll = 0.0
+        for bs in grp:
+            fused = {}
+            for lb in bs:
+                fused[lb.cp] = True
+                unroll += len(lb.off) * (
+                    lb.cp + lb.rp) * self.SCATTER_ROW_NS + \
+                    len(lb.off) * (0 if lb.contiguous
+                                   else self.GATHER_ROW_NS * (lb.cp + lb.rp))
+            unroll += len(fused) * self.SOLVE_DIAG_OPS * self.SOLVE_OP_US
+        return scan < unroll
 
     def _partition_scan_groups(self, pend):
         """Greedy split of a run of consecutive plain solve levels (each a
@@ -2283,8 +2318,9 @@ class PlannedBackend:
             if not pend:
                 return
             for grp in self._partition_scan_groups(pend):
-                if len(grp) == 1:
-                    add_plain(grp[0])
+                if len(grp) == 1 or not self._scan_fold_pays(grp):
+                    for bs in grp:
+                        add_plain(bs)
                     continue
                 sg = self._build_scan_group(grp)
                 slots = []

@@ -22,20 +22,24 @@ def log(*a):
 
 
 def chain_time(fn, state, ks=(2, 10)):
+    """Trip count is a runtime operand — ONE compile serves both chain
+    lengths."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(s, k):
+        def body(i, s):
+            return fn(s)
+        return jax.lax.fori_loop(0, k, body, s)
 
     js = {}
+    out = chained(state, jnp.asarray(ks[0], jnp.int32))
+    float(jax.tree.leaves(out)[0].ravel()[0])  # compile+warm
     for k in ks:
-        def chained(s, k=k):
-            def body(i, s):
-                return fn(s)
-            return jax.lax.fori_loop(0, k, body, s)
-        j = jax.jit(chained)
-        out = j(state)
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         t0 = time.perf_counter()
-        out = j(state)
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        out = chained(state, jnp.asarray(k, jnp.int32))
+        float(jax.tree.leaves(out)[0].ravel()[0])
         js[k] = time.perf_counter() - t0
     return (js[ks[1]] - js[ks[0]]) / (ks[1] - ks[0])
 

@@ -23,22 +23,24 @@ def log(*a):
 
 def chain_time(fn, state, ks=(2, 8)):
     """Device time per call: slope between two chain lengths of
-    fn-composed-with-itself inside one jit."""
+    fn-composed-with-itself inside one jit (trip count is a runtime
+    operand — ONE compile serves both lengths)."""
     import jax
+    import jax.numpy as jnp
 
+    @jax.jit
     def chained(s, k):
         def body(i, s):
             return fn(s)
         return jax.lax.fori_loop(0, k, body, s)
 
     js = {}
+    out = chained(state, jnp.asarray(ks[0], jnp.int32))
+    float(jax.tree.leaves(out)[0].ravel()[0])  # compile+warm
     for k in ks:
-        j = jax.jit(lambda s, k=k: chained(s, k))
-        out = j(state)
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # warm
         t0 = time.perf_counter()
-        out = j(state)
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        out = chained(state, jnp.asarray(k, jnp.int32))
+        float(jax.tree.leaves(out)[0].ravel()[0])
         js[k] = time.perf_counter() - t0
     return (js[ks[1]] - js[ks[0]]) / (ks[1] - ks[0])
 
