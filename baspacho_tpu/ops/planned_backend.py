@@ -136,6 +136,19 @@ class PairBucket:
 
 
 class PlannedBackend:
+    # MXU precision of the level-update accumulation GEMMs (the
+    # U = sum x x^T syrk); set by Solver from Settings.update_precision.
+    # "high" (3-pass bf16) measures 49.8 vs 28.8 Tflop/s at "highest" on
+    # v5e with error far inside the reference float epsilon (products
+    # feed an f32 accumulator; see Settings.update_precision).
+    update_precision: str = "highest"
+
+    def _upd_prec(self):
+        """lax.Precision for the update syrk, or None to inherit the
+        ambient default_matmul_precision context."""
+        p = self.update_precision
+        return None if p is None else jax.lax.Precision(p)
+
     def __init__(self, plan: NumericPlan):
         self.plan = plan
         self.num_levels = int(plan.lump_levels.max()) + 1 \
@@ -1604,7 +1617,8 @@ class PlannedBackend:
             # whole cp-wide rows), then U = W W^T as a single MXU GEMM
             Wm = self._build_w(ext.dtype, dense, lump_buckets, xs, aux)
             U_core = jnp.einsum("rk,sk->rs", Wm, Wm,
-                                preferred_element_type=ext.dtype)
+                                preferred_element_type=ext.dtype,
+                                precision=self._upd_prec())
             if (upr, ulc, urc) == (0, 0, 0):
                 U = U_core
             else:
@@ -1656,7 +1670,8 @@ class PlannedBackend:
                     preferred_element_type=x.dtype)
                 usub = jnp.einsum(
                     "brc,bsc->rs", y, y,
-                    preferred_element_type=x.dtype)
+                    preferred_element_type=x.dtype,
+                    precision=self._upd_prec())
                 Uc = jax.lax.dynamic_slice(
                     U, (lo, ulc + lo), (subp, subp))
                 return jax.lax.dynamic_update_slice(
@@ -1724,11 +1739,13 @@ class PlannedBackend:
                         for (c0, c1) in tri[:ai + 1]:
                             us = jnp.einsum(
                                 "bmc,bnc->mn", ym[:, a0:a1], ym[:, c0:c1],
-                                preferred_element_type=xc.dtype)
+                                preferred_element_type=xc.dtype,
+                                precision=self._upd_prec())
                             U = U.at[a0:a1, ulc + c0:ulc + c1].add(us)
                     return U, None
                 us = jnp.einsum("bmc,bnc->mn", ym, ym,
-                                preferred_element_type=xc.dtype)
+                                preferred_element_type=xc.dtype,
+                                precision=self._upd_prec())
                 lo = slo * s3
                 Uc = jax.lax.dynamic_slice(
                     U, (lo, ulc + lo), (ssub * s3, ssub * s3))
@@ -1907,7 +1924,8 @@ class PlannedBackend:
                 W = W.at[flat_idx].set(x)
             Wm = W.reshape(R + 1, Kp)[:R]
             U_core = jnp.einsum("rk,sk->rs", Wm, Wm,
-                                preferred_element_type=ext.dtype)
+                                preferred_element_type=ext.dtype,
+                                precision=self._upd_prec())
             U_core = jax.lax.psum(U_core, axis_name)
             if (upr, ulc, urc) == (0, 0, 0):
                 U = U_core
@@ -1946,7 +1964,8 @@ class PlannedBackend:
                     y = jnp.einsum("bir,bic->brc", oh, xc,
                                    preferred_element_type=x.dtype)
                     usub = jnp.einsum("brc,bsc->rs", y, y,
-                                      preferred_element_type=x.dtype)
+                                      preferred_element_type=x.dtype,
+                                      precision=self._upd_prec())
                     Uc = jax.lax.dynamic_slice(
                         U, (lo, ulc + lo), (subp, subp))
                     return jax.lax.dynamic_update_slice(

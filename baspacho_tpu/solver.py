@@ -65,6 +65,16 @@ class Settings:
     # of factorization accuracy — pair with solve_refined when the
     # tighter contract matters.
     matmul_precision: str = "highest"
+    # MXU precision for the level-update accumulation GEMMs only (the
+    # U = sum x x^T syrk — the syge analog, the FLOP-dominant op on
+    # Schur-elimination levels). "high" (3-pass bf16) runs ~1.7-1.9x the
+    # "highest" MXU rate (measured 28.8 -> 49.8 Tflop/s on v5e) and its
+    # error stays well inside the reference's own float test epsilon
+    # (4e-5, tests/FactorTest.cpp:30-41): the products feed an f32
+    # accumulator and each output entry contracts thousands of bf16x3
+    # terms whose rounding is ~2^-21 relative. Set to "highest" to make
+    # every op full f32; None follows matmul_precision.
+    update_precision: Optional[str] = "high"
 
 
 class Solver:
@@ -73,9 +83,11 @@ class Solver:
                  permutation: np.ndarray,
                  backend: BackendType = BackendType.REF,
                  can_factor_up_to: int = -1,
-                 matmul_precision: str = "highest"):
+                 matmul_precision: str = "highest",
+                 update_precision: Optional[str] = "high"):
         self.skel = skel
         self.matmul_precision = matmul_precision
+        self.update_precision = update_precision or matmul_precision
         self.sparse_elim_ranges = list(sparse_elim_ranges)
         self.permutation = np.asarray(permutation, dtype=np.int64)
         self.can_factor_up_to = (skel.num_spans if can_factor_up_to < 0
@@ -88,6 +100,7 @@ class Solver:
         if backend == BackendType.PLANNED:
             from .ops.planned_backend import PlannedBackend
             self.backend = PlannedBackend(self.plan)
+            self.backend.update_precision = self.update_precision
         else:
             self.backend = UnrolledBackend(self.plan)
         self._fns = {}
@@ -792,7 +805,8 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
             else given_elim_end
         return Solver(skel, sparse_elim_ranges, permutation,
                       settings.backend, cfut,
-                      matmul_precision=settings.matmul_precision)
+                      matmul_precision=settings.matmul_precision,
+                      update_precision=settings.update_precision)
 
     ss_bottom = ss.extract_right_bottom(given_elim_end)
     perm = _bottom_permutation(settings, ss, ss_bottom, given_elim_end,
@@ -868,17 +882,26 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
         np.arange(given_elim_end, dtype=np.int64),
         given_elim_end + et_total_inv_perm])
 
-    # Order each given sparse-elim range by its members' connected rows'
-    # positions in the FINAL ordering (any order within an independent
-    # range is a valid elimination order with identical fill). This keeps
-    # same-neighborhood members adjacent even after AMD reorders the
-    # bottom system — the locality the planned backend's chunked dense
-    # updates exploit (BA: landmarks sorted by camera; the reference's
-    # CPU/GPU sparse elimination is insensitive to this, ours is not).
+    # Order each given sparse-elim range by padded panel SHAPE first, then
+    # by its members' connected rows' positions in the FINAL ordering (any
+    # order within an independent range is a valid elimination order with
+    # identical fill). The shape-major key makes every (padded rows,
+    # padded width) class one consecutive run of lumps — and hence of
+    # panel STORAGE — so the planned backend's batched panel reads become
+    # reshapes of contiguous slices instead of per-panel gathers (measured
+    # 190 ms of pure gather/scatter on the 50k-landmark Schur level,
+    # ~5 ns/element vs HBM's ~0.005). The locality minor key keeps
+    # same-neighborhood members adjacent WITHIN a shape class (BA:
+    # landmarks sorted by camera) — and since buckets group by shape, the
+    # chunked dense update sees the exact same member order as a pure
+    # locality sort. The reference's CPU/GPU sparse elimination is
+    # insensitive to all of this (per-row chains / atomics,
+    # MatOpsCuda.cu:309); batched XLA execution is not.
     if sparse_elim_ranges:
         sst_cols = ss.transpose()  # lower-half columns: rows >= col
         col_of = np.repeat(np.arange(len(param_sizes), dtype=np.int64),
                            sst_cols.ptrs[1:] - sst_cols.ptrs[:-1])
+        pad_fn = _pad_fn_for(settings)
         for e in range(len(sparse_elim_ranges) - 1):
             a, b = sparse_elim_ranges[e], sparse_elim_ranges[e + 1]
             sel = (col_of >= a) & (col_of < b) & (sst_cols.inds > col_of)
@@ -888,7 +911,18 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
             if len(cols):
                 uniq, start_idx = np.unique(cols, return_index=True)
                 keys[uniq] = np.minimum.reduceat(vals, start_idx)
-            order = np.argsort(keys, kind="stable")
+            if pad_fn is not None:
+                # per-member below rows = total size of connected rows
+                # (independent range: no internal edges, no fill lands in
+                # these columns, no merging — matches the skeleton's
+                # storage_pad input exactly)
+                rows_tot = np.bincount(
+                    cols, weights=param_sizes[sst_cols.inds[sel]],
+                    minlength=b - a).astype(np.int64)
+                prp, cp = pad_fn(rows_tot, param_sizes[a:b])
+                order = np.lexsort((keys, prp, cp))
+            else:
+                order = np.argsort(keys, kind="stable")
             full_inv_perm[a:b] = a + inverse_permutation(order)
 
     full_span_start = np.zeros(len(param_sizes), dtype=np.int64)
@@ -958,4 +992,5 @@ def create_solver(settings: Settings, param_sizes, ss: SparseStructure,
             if settings.add_fill_policy == AddFillPolicy.FOR_AUTO_ELIMS
             else len(param_sizes))
     return Solver(skel, full_ranges, full_inv_perm, settings.backend, cfut,
-                  matmul_precision=settings.matmul_precision)
+                  matmul_precision=settings.matmul_precision,
+                  update_precision=settings.update_precision)
