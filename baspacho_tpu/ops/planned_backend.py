@@ -894,9 +894,30 @@ class PlannedBackend:
         return {"s3": s3, "S": S, "maps": maps, "groups": groups,
                 "pad_b": pad_b, "tri": tri, "cost": cost}
 
+    # Cap on the TPU-tiled footprint of one bucket's materialized 3-D
+    # panel tensor (B, cp+rp, cp): the minor dim cp tiles up to 128 lanes,
+    # so e.g. BAL's 527k (68, 4)-panels would materialize 19.4 GB as one
+    # tensor (> the chip's 16 GB HBM). Oversized shape groups are split
+    # into contiguous sub-buckets below this cap — downstream planning
+    # (dense/sg/pairs/sharded) iterates buckets generically, so the split
+    # is transparent everywhere. Override: BASPACHO_PANEL_BYTES_CAP.
+    PANEL_BYTES_CAP = 2 << 30
+
+    def _panel_cap(self) -> int:
+        env = os.environ.get("BASPACHO_PANEL_BYTES_CAP")
+        return int(env) if env else self.PANEL_BYTES_CAP
+
+    @staticmethod
+    def _panel_tile_bytes(rp: int, cp: int) -> int:
+        """TPU-tiled bytes of ONE (cp+rp, cp) f32 panel: second-to-last
+        dim pads to 8, minor dim to 128."""
+        h = rp + cp
+        return ((h + 7) // 8) * 8 * ((cp + 127) // 128) * 128 * 4
+
     def _bucket_lumps(self, lds, with_below_idx: bool) -> List[LumpBucket]:
         """Group the lump ids by padded panel shape (fully vectorized —
-        at BAL scale a level holds 500k+ lumps)."""
+        at BAL scale a level holds 500k+ lumps); oversized shape groups
+        split into sub-buckets under the tiled-footprint cap."""
         plan = self.plan
         order = plan.skel.order
         lds = np.asarray(lds, dtype=np.int64)
@@ -909,10 +930,17 @@ class PlannedBackend:
         brk = (np.nonzero((prp_s[1:] != prp_s[:-1]) |
                           (cp_s[1:] != cp_s[:-1]))[0] + 1).tolist()
         bounds = [0, *brk, len(g_all)]
+        cap = self._panel_cap()
+        sub_bounds = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            max_b = max(1, cap //
+                        self._panel_tile_bytes(int(prp_s[a]), int(cp_s[a])))
+            for s in range(a, b, max_b):
+                sub_bounds.append((s, min(s + max_b, b)))
         ptr = plan.below_row_ptr
         flat = plan.below_rows_flat
         out = []
-        for a, b in zip(bounds[:-1], bounds[1:]):
+        for a, b in sub_bounds:
             g = g_all[a:b]
             rp, cp = int(prp_s[a]), int(cp_s[a])
             bidx = None
@@ -1113,34 +1141,51 @@ class PlannedBackend:
         for lb in buckets:
             by_cp.setdefault(lb.cp, []).append(lb)
         out = []
-        for cp, group in sorted(by_cp.items()):
-            if len(group) == 1:
-                out.append(group[0])
-                continue
-            rp = max(lb.rp for lb in group)
-            B = sum(len(lb.off) for lb in group)
-            bidx = np.full((B, max(rp, 1)), order, dtype=np.int32)
-            rcnt = np.zeros(B, dtype=np.int32)
-            i = 0
-            for lb in group:
-                n = len(lb.off)
-                if lb.rp > 0:
-                    bidx[i:i + n, :lb.rp] = lb.below_idx
-                rcnt[i:i + n] = lb.rp
-                i += n
-            fused = LumpBucket(
-                rp=rp, cp=cp,
-                off=np.concatenate([lb.off for lb in group]),
-                rows=np.concatenate([lb.rows for lb in group]),
-                cols=np.concatenate([lb.cols for lb in group]),
-                vec_off=np.concatenate([lb.vec_off for lb in group]),
-                below_idx=bidx, contiguous=False)
-            if any(lb.rp != rp for lb in group):
-                fused.row_cnt = rcnt  # overread rows must be masked
-            fused.members = np.concatenate(
-                [np.asarray(lb.members) for lb in group])
-            out.append(fused)
+        cap = self._panel_cap()
+        for cp, group_all in sorted(by_cp.items()):
+            # greedy partition so each fused bucket's tiled panel tensor
+            # stays under the footprint cap (same limit as _bucket_lumps)
+            groups, cur, cur_bytes = [], [], 0
+            for lb in group_all:
+                pb = len(lb.off) * self._panel_tile_bytes(lb.rp, lb.cp)
+                if cur and cur_bytes + pb > cap:
+                    groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(lb)
+                cur_bytes += pb
+            if cur:
+                groups.append(cur)
+            for group in groups:
+                self._fuse_group(group, cp, order, out)
         return out
+
+    def _fuse_group(self, group, cp, order, out):
+        if len(group) == 1:
+            out.append(group[0])
+            return
+        rp = max(lb.rp for lb in group)
+        B = sum(len(lb.off) for lb in group)
+        bidx = np.full((B, max(rp, 1)), order, dtype=np.int32)
+        rcnt = np.zeros(B, dtype=np.int32)
+        i = 0
+        for lb in group:
+            n = len(lb.off)
+            if lb.rp > 0:
+                bidx[i:i + n, :lb.rp] = lb.below_idx
+            rcnt[i:i + n] = lb.rp
+            i += n
+        fused = LumpBucket(
+            rp=rp, cp=cp,
+            off=np.concatenate([lb.off for lb in group]),
+            rows=np.concatenate([lb.rows for lb in group]),
+            cols=np.concatenate([lb.cols for lb in group]),
+            vec_off=np.concatenate([lb.vec_off for lb in group]),
+            below_idx=bidx, contiguous=False)
+        if any(lb.rp != rp for lb in group):
+            fused.row_cnt = rcnt  # overread rows must be masked
+        fused.members = np.concatenate(
+            [np.asarray(lb.members) for lb in group])
+        out.append(fused)
 
     SOLVE_BLOCK = 512  # diag-block size for the wide-panel inverse chain
 
@@ -1598,24 +1643,46 @@ class PlannedBackend:
 
     def _run_dense_level(self, ext, lump_buckets, pair_buckets, dense,
                          aux):
-        """Factor the level; accumulate its whole update into the compact
-        U via per-chunk one-hot-placed GEMMs (lax.scan per uniform-shape
-        chunk group), then subtract U into targets via contiguous
-        chain-run slices (see _build_dense_update)."""
+        """Factor each bucket and IMMEDIATELY fold its update contribution
+        into the compact accumulator (flat W in w-mode, U otherwise) so at
+        most one bucket's solved below panels are live at a time — at BAL
+        scale a level's below tensors total ~20 GB TPU-tiled, more than
+        HBM, so they must not all coexist. Then subtract U into targets
+        via contiguous chain-run slices (see _build_dense_update)."""
         R = dense["R"]
-        xs = {}
-        for bi, lb in enumerate(lump_buckets):
-            ext, x = self._factor_bucket(ext, lb,
-                                         want_below=True)
-            if x is not None:
-                xs[bi] = x
         # margins let scanned slice reads use full-stride
         # windows anchored at gc0 - c0 without going OOB
         upr, ulc, urc = dense["u_pads"]
-        if dense.get("mode") == "w":
-            # scatter-built W: one panel scatter per bucket (addresses
-            # whole cp-wide rows), then U = W W^T as a single MXU GEMM
-            Wm = self._build_w(ext.dtype, dense, lump_buckets, xs, aux)
+        mode_w = dense.get("mode") == "w"
+        sgp = dense.get("sg")
+        if mode_w:
+            acc = jnp.zeros((R + 1) * dense["Kp"], ext.dtype)  # flat W
+        else:
+            acc = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)  # U
+        out_by_bi: Dict[int, list] = {}
+        for bi, idxs, _bidx in dense["out_groups"]:
+            out_by_bi.setdefault(bi, []).append(idxs)
+        out_prods = []  # out_groups is sorted by bi: order preserved
+        for bi, lb in enumerate(lump_buckets):
+            ext, x = self._factor_bucket(ext, lb, want_below=True)
+            if x is None:
+                continue
+            if mode_w:
+                acc = self._scatter_w_bucket(acc, dense, bi, lb, x, aux)
+            elif sgp is not None:
+                acc = self._accum_sg_bucket(acc, ulc, dense, lb, bi, x,
+                                            aux)
+            else:
+                acc = self._accum_oh_bucket(acc, ulc, dense, lb, bi, x,
+                                            aux, R)
+            for idxs in out_by_bi.get(bi, ()):  # outlier origins
+                xo = x[jnp.asarray(idxs)]
+                out_prods.append(jnp.einsum(
+                    "brk,bsk->brs", xo, xo,
+                    preferred_element_type=ext.dtype).reshape(-1))
+        if mode_w:
+            # U = W W^T as a single MXU GEMM
+            Wm = acc.reshape(R + 1, dense["Kp"])[:R]
             U_core = jnp.einsum("rk,sk->rs", Wm, Wm,
                                 preferred_element_type=ext.dtype,
                                 precision=self._upd_prec())
@@ -1624,39 +1691,54 @@ class PlannedBackend:
             else:
                 U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
                 U = jax.lax.dynamic_update_slice(U, U_core, (0, ulc))
-            return self._apply_dense_slices(ext, dense, U, ulc, aux)
-        U = jnp.zeros((R + upr, ulc + R + urc), ext.dtype)
-        if dense.get("sg") is not None:
-            U = self._accum_sg(U, ulc, dense, lump_buckets, xs, aux)
-            ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
-            if pair_buckets:  # outlier origins: block-pair path
-                prods = []
-                for bi, idxs, _bidx in dense["out_groups"]:
-                    xo = xs[bi][jnp.asarray(idxs)]
-                    prods.append(jnp.einsum(
-                        "brk,bsk->brs", xo, xo,
-                        preferred_element_type=ext.dtype).reshape(-1))
-                flat = jnp.concatenate(prods) if len(prods) > 1 \
-                    else prods[0]
-                ext = self._apply_pairs(ext, flat, pair_buckets, aux)
-            return ext
-        for (bi, nb, subp), items in dense["groups"].items():
-            lb = lump_buckets[bi]
-            x = xs[bi]
+        else:
+            U = acc
+            if sgp is not None and sgp["tri"] is not None:
+                # mirror the accumulated lower block-triangle once
+                tri = sgp["tri"]
+                for ai, (a0, a1) in enumerate(tri):
+                    for (c0, c1) in tri[:ai]:
+                        U = U.at[c0:c1, ulc + a0:ulc + a1].set(
+                            U[a0:a1, ulc + c0:ulc + c1].T)
+        ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
+        if pair_buckets:  # outlier origins: block-pair path
+            flat = jnp.concatenate(out_prods) if len(out_prods) > 1 \
+                else out_prods[0]
+            ext = self._apply_pairs(ext, flat, pair_buckets, aux)
+        return ext
+
+    def _scatter_w_bucket(self, W, dense, bi, lb, x, aux):
+        """Scatter one bucket's (B, rp, cp) solved below panels into the
+        flat W accumulator at their compact row positions (row map
+        sentinel rows land in W's sacrificial last row)."""
+        base = dense["col_base"][bi]
+        Kp = dense["Kp"]
+        rc = aux[dense["slots"][bi]]  # (B, rp) int32, R = sentinel
+        colb = jnp.asarray(base + np.arange(len(lb.off), dtype=np.int32) *
+                           lb.cp)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lb.cp), 2)
+        idx = rc[:, :, None] * Kp + colb[:, None, None] + ci
+        return W.at[idx].set(x, indices_are_sorted=False,
+                             unique_indices=True)
+
+    def _accum_oh_bucket(self, U, ulc, dense, lb, bi, x, aux, R):
+        """One bucket's chunk-scanned one-hot U accumulation (oh mode)."""
+        for (bj, nb, subp), items in dense["groups"].items():
+            if bj != bi:
+                continue
             rows_c = aux[dense["slots"][bi]]
             padB = dense["pad_b"][bi]
-            if padB > x.shape[0]:
-                padn = padB - x.shape[0]
-                x = jnp.concatenate(
-                    [x, jnp.zeros((padn,) + x.shape[1:],
-                                  x.dtype)])
+            xb = x
+            if padB > xb.shape[0]:
+                padn = padB - xb.shape[0]
+                xb = jnp.concatenate(
+                    [xb, jnp.zeros((padn,) + xb.shape[1:], xb.dtype)])
                 rows_c = jnp.concatenate(
                     [rows_c,
-                     jnp.full((padn, rows_c.shape[1]), R,
-                              jnp.int32)])
+                     jnp.full((padn, rows_c.shape[1]), R, jnp.int32)])
             b0lo = aux[dense["gslots"][(bi, nb, subp)]]
 
-            def chunk_step(U, b0lo, x=x, rows_c=rows_c,
+            def chunk_step(U, b0lo, x=xb, rows_c=rows_c,
                            nb=nb, subp=subp):
                 b0, lo = b0lo[0], b0lo[1]
                 xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
@@ -1678,34 +1760,22 @@ class PlannedBackend:
                     U, Uc + usub, (lo, ulc + lo)), None
 
             U, _ = jax.lax.scan(chunk_step, U, b0lo)
-        ext = self._apply_dense_slices(ext, dense, U, ulc, aux)
-        if pair_buckets:  # outlier origins: block-pair path
-            prods = []
-            for bi, idxs, _bidx in dense["out_groups"]:
-                xo = xs[bi][jnp.asarray(idxs)]
-                prods.append(jnp.einsum(
-                    "brk,bsk->brs", xo, xo,
-                    preferred_element_type=ext.dtype
-                ).reshape(-1))
-            flat = jnp.concatenate(prods) if len(prods) > 1 \
-                else prods[0]
-            ext = self._apply_pairs(ext, flat, pair_buckets,
-                                    aux)
-        return ext
+        return U
 
-    def _accum_sg(self, U, ulc, dense, lump_buckets, xs, aux):
-        """Span-granular U accumulation (see _plan_sg): per chunk, place
-        each origin's below panel by SPAN via a one-hot einsum, then one
-        GEMM accumulates the chunk's contribution. Full-space chunks
-        accumulate only a lower block-triangle, mirrored once after all
-        scans (every contribution is block-triangular in that regime, so
-        the mirror reconstructs the exact symmetric U)."""
+    def _accum_sg_bucket(self, U, ulc, dense, lb, bi, x, aux):
+        """Span-granular U accumulation of ONE bucket (see _plan_sg): per
+        chunk, place each origin's below panel by SPAN via a one-hot
+        einsum, then one GEMM accumulates the chunk's contribution.
+        Full-space chunks accumulate only a lower block-triangle; the
+        caller mirrors it once after ALL buckets (every contribution is
+        block-triangular in that regime, so the mirror reconstructs the
+        exact symmetric U)."""
         sgp = dense["sg"]
         s3, S, tri = sgp["s3"], sgp["S"], sgp["tri"]
         R = dense["R"]
-        for (bi, nb, ssub) in sgp["groups"]:
-            lb = lump_buckets[bi]
-            x = xs[bi]
+        for (bj, nb, ssub) in sgp["groups"]:
+            if bj != bi:
+                continue
             sc = aux[sgp["slots"][bi]]
             ns3p = sc.shape[1]
             padB = sgp["pad_b"][bi]
@@ -2467,21 +2537,23 @@ class PlannedBackend:
                     [sc, jnp.full((pn, sc.shape[1]), S, jnp.int32)])
             return arrs, sc
 
-        def dense_below_fwd_sg(vv, info, xs, belows, aux):
-            """Span-granular forward below update: per chunk, per-origin
-            products place by SPAN through the compact accumulator (the
-            solve analog of _accum_sg; oh volume / s3^2 vs row form)."""
+        def fwd_sg_bucket(acc, info, bi, x0, below0, aux):
+            """Span-granular forward below update of ONE bucket into the
+            compact accumulator: per chunk, per-origin products place by
+            SPAN (the solve analog of _accum_sg_bucket; oh volume / s3^2
+            vs row form). Per-bucket so only one bucket's below panels
+            are live at a time (BAL-scale levels exceed HBM otherwise)."""
             dense = info["dense"]
             sgp = dense["sg"]
             s3, S = sgp["s3"], sgp["S"]
-            R = dense["R"]
-            nrhs = vv.shape[1]
-            acc = jnp.zeros((R, nrhs), vv.dtype)
-            for (bi, nb, ssub), islot in info["sg_gslots"].items():
+            nrhs = acc.shape[1]
+            for (bj, nb, ssub), islot in info["sg_gslots"].items():
+                if bj != bi:
+                    continue
                 sc = aux[info["sg_slots"][bi]]
                 ns3p = sc.shape[1]
                 (x, below), sc = _sg_pad(
-                    sgp, bi, [xs[bi], belows[bi]], sc, S)
+                    sgp, bi, [x0, below0], sc, S)
                 b0lo = aux[islot]
 
                 def step(acc, b0lo, x=x, below=below, sc=sc, nb=nb,
@@ -2513,43 +2585,32 @@ class PlannedBackend:
                         acc, cur + contrib, (lo, z)), None
 
                 acc, _ = jax.lax.scan(step, acc, b0lo)
-            if "cidx_slot" in info:
-                vv = vv.at[aux[info["cidx_slot"]]].add(
-                    -acc, indices_are_sorted=False, unique_indices=True)
-            else:
-                for v0, ln, g0 in dense["vec_slices"]:
-                    vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
-            return vv
+            return acc
 
-        def dense_dx_sg(vv, info, belows, aux):
-            """Span-granular transpose corrections (dense_dx analog)."""
+        def dx_sg_bucket(acc, info, bi, below0, aux):
+            """Span-granular transpose corrections of ONE bucket
+            (dx_oh_bucket analog)."""
             dense = info["dense"]
             sgp = dense["sg"]
             s3, S = sgp["s3"], sgp["S"]
-            R = dense["R"]
-            nrhs = vv.shape[1]
-            if "cidx_slot" in info:
-                acc = vv[aux[info["cidx_slot"]]]
-            else:
-                acc = jnp.zeros((R, nrhs), vv.dtype)
-                for v0, ln, g0 in dense["vec_slices"]:
-                    acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
-            dxs = {}
-            for (bi, nb, ssub), islot in info["sg_gslots"].items():
+            nrhs = acc.shape[1]
+            dx0 = None
+            for (bj, nb, ssub), islot in info["sg_gslots"].items():
+                if bj != bi:
+                    continue
                 sc = aux[info["sg_slots"][bi]]
                 ns3p = sc.shape[1]
                 cp = info["buckets"][bi].cp
-                rp = belows[bi].shape[1]
-                (below,), sc = _sg_pad(sgp, bi, [belows[bi]], sc, S)
+                rp = below0.shape[1]
+                (below,), sc = _sg_pad(sgp, bi, [below0], sc, S)
                 padB = below.shape[0]
                 b0lo = aux[islot]
-                dx0 = dxs.get(bi)
                 if dx0 is None:
-                    dx0 = jnp.zeros((padB, cp, nrhs), vv.dtype)
+                    dx0 = jnp.zeros((padB, cp, nrhs), acc.dtype)
                 elif dx0.shape[0] < padB:
                     dx0 = jnp.concatenate(
                         [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
-                                        vv.dtype)])
+                                        acc.dtype)])
 
                 def step(dx, b0lo, below=below, sc=sc, nb=nb,
                          ssub=ssub, ns3p=ns3p, rp=rp):
@@ -2558,30 +2619,32 @@ class PlannedBackend:
                     scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
                     ids = slo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, 1, ssub), 2)
-                    oh = (scc[:, :, None] == ids).astype(vv.dtype)
+                    oh = (scc[:, :, None] == ids).astype(acc.dtype)
                     lo = slo * s3
                     av = jax.lax.dynamic_slice(
                         acc, (lo, jnp.zeros((), lo.dtype)),
                         (ssub * s3, nrhs)).reshape(ssub, s3, nrhs)
                     t4 = jnp.einsum("bns,sim->bnim", oh, av,
-                                    preferred_element_type=vv.dtype)
+                                    preferred_element_type=acc.dtype)
                     t = t4.reshape(nb, ns3p * s3, nrhs)[:, :rp]
                     delta = jnp.einsum("brc,brn->bcn", bl, t,
-                                       preferred_element_type=vv.dtype)
+                                       preferred_element_type=acc.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(
                         dx, delta, b0, axis=0), None
 
                 dx0, _ = jax.lax.scan(step, dx0, b0lo)
-                dxs[bi] = dx0
-            return dxs
+            return dx0
 
-        def dense_below_fwd(vv, info, xs, belows, aux):
+        def fwd_oh_bucket(acc, info, bi, x0, below0, aux):
+            """One bucket's oh-mode forward below update into the compact
+            accumulator."""
             dense = info["dense"]
             R = dense["R"]
-            nrhs = vv.shape[1]
-            acc = jnp.zeros((R, nrhs), vv.dtype)
-            for (bi, nb, subp), items_slot in info["gslots"].items():
-                x, below = xs[bi], belows[bi]
+            nrhs = acc.shape[1]
+            for (bj, nb, subp), items_slot in info["gslots"].items():
+                if bj != bi:
+                    continue
+                x, below = x0, below0
                 rows_c = aux[info["slots"][bi]]
                 padB = dense["pad_b"][bi]
                 if padB > x.shape[0]:
@@ -2615,28 +2678,19 @@ class PlannedBackend:
                         acc, cur + contrib, (lo, z)), None
 
                 acc, _ = jax.lax.scan(step, acc, b0lo)
-            if "cidx_slot" in info:
-                vv = vv.at[aux[info["cidx_slot"]]].add(
-                    -acc, indices_are_sorted=False, unique_indices=True)
-            else:
-                for v0, ln, g0 in dense["vec_slices"]:
-                    vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
-            return vv
+            return acc
 
-        def dense_dx(vv, info, belows, aux):
-            """Per-bucket transpose corrections dx = below^T acc_rows."""
+        def dx_oh_bucket(acc, info, bi, below0, aux):
+            """One bucket's oh-mode transpose corrections
+            dx = below^T acc_rows."""
             dense = info["dense"]
             R = dense["R"]
-            nrhs = vv.shape[1]
-            if "cidx_slot" in info:
-                acc = vv[aux[info["cidx_slot"]]]
-            else:
-                acc = jnp.zeros((R, nrhs), vv.dtype)
-                for v0, ln, g0 in dense["vec_slices"]:
-                    acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
-            dxs = {}
-            for (bi, nb, subp), items_slot in info["gslots"].items():
-                below = belows[bi]
+            nrhs = acc.shape[1]
+            dx0 = None
+            for (bj, nb, subp), items_slot in info["gslots"].items():
+                if bj != bi:
+                    continue
+                below = below0
                 rows_c = aux[info["slots"][bi]]
                 padB = dense["pad_b"][bi]
                 cp = info["buckets"][bi].cp
@@ -2649,13 +2703,12 @@ class PlannedBackend:
                         [rows_c, jnp.full((pn, rows_c.shape[1]), R,
                                           jnp.int32)])
                 b0lo = aux[items_slot]
-                dx0 = dxs.get(bi)
                 if dx0 is None:
-                    dx0 = jnp.zeros((padB, cp, nrhs), vv.dtype)
+                    dx0 = jnp.zeros((padB, cp, nrhs), acc.dtype)
                 elif dx0.shape[0] < padB:
                     dx0 = jnp.concatenate(
                         [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
-                                        vv.dtype)])
+                                        acc.dtype)])
 
                 def step(dx, b0lo, below=below, rows_c=rows_c,
                          nb=nb, subp=subp):
@@ -2664,19 +2717,38 @@ class PlannedBackend:
                     rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
                     ids = lo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, 1, subp), 2)
-                    oh = (rc[:, :, None] == ids).astype(vv.dtype)
+                    oh = (rc[:, :, None] == ids).astype(acc.dtype)
                     av = jax.lax.dynamic_slice(
                         acc, (lo, jnp.zeros((), lo.dtype)), (subp, nrhs))
                     t = jnp.einsum("brs,sn->brn", oh, av,
-                                   preferred_element_type=vv.dtype)
+                                   preferred_element_type=acc.dtype)
                     delta = jnp.einsum("brc,brn->bcn", bl, t,
-                                       preferred_element_type=vv.dtype)
+                                       preferred_element_type=acc.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(
                         dx, delta, b0, axis=0), None
 
                 dx0, _ = jax.lax.scan(step, dx0, b0lo)
-                dxs[bi] = dx0
-            return dxs
+            return dx0
+
+        def acc_of_vv(vv, info, aux):
+            """Read the level's compact accumulator rows from vv."""
+            dense = info["dense"]
+            if "cidx_slot" in info:
+                return vv[aux[info["cidx_slot"]]]
+            acc = jnp.zeros((dense["R"], vv.shape[1]), vv.dtype)
+            for v0, ln, g0 in dense["vec_slices"]:
+                acc = acc.at[g0:g0 + ln].set(vv[v0:v0 + ln])
+            return acc
+
+        def apply_acc(vv, info, acc, aux):
+            """Subtract the accumulated below update into vv."""
+            dense = info["dense"]
+            if "cidx_slot" in info:
+                return vv.at[aux[info["cidx_slot"]]].add(
+                    -acc, indices_are_sorted=False, unique_indices=True)
+            for v0, ln, g0 in dense["vec_slices"]:
+                vv = vv.at[v0:v0 + ln].add(-acc[g0:g0 + ln])
+            return vv
 
         def solve(data, v, aux):
             nrhs = v.shape[1]
@@ -2694,34 +2766,68 @@ class PlannedBackend:
                 vv, _ = jax.lax.scan(step, vv, inp, reverse=transpose)
                 return vv
 
+            def out_map_of(info):
+                m: Dict[int, list] = {}
+                for bi, idxs, slot in info["out"]:
+                    m.setdefault(bi, []).append((idxs, slot))
+                return m
+
             # forward (L) pass
             for info in levels:
                 if info.get("scan") is not None:
                     vv = run_scan(vv, info, False)
                 elif info["dense"] is not None:
-                    xs, belows = {}, {}
-                    for bi, sb in enumerate(info["buckets"]):
-                        vv, x, below = self._diag_solve(
-                            ext, vv, sb, order, False, ret_xb=True,
-                            use_inv=use_inv)
-                        if below is not None:
-                            xs[bi], belows[bi] = x, below
-                    if xs:
-                        if info["dense"].get("mode") == "w":
+                    if info["dense"].get("mode") == "w":
+                        # w mode is size-capped (W_MAX_ELEMS): the
+                        # whole-level W build is safe to materialize
+                        xs, belows = {}, {}
+                        for bi, sb in enumerate(info["buckets"]):
+                            vv, x, below = self._diag_solve(
+                                ext, vv, sb, order, False, ret_xb=True,
+                                use_inv=use_inv)
+                            if below is not None:
+                                xs[bi], belows[bi] = x, below
+                        if xs:
                             vv = dense_below_fwd_w(vv, info, xs, belows,
                                                    aux)
-                        elif info["dense"].get("sg") is not None:
-                            vv = dense_below_fwd_sg(vv, info, xs, belows,
-                                                    aux)
-                        else:
-                            vv = dense_below_fwd(vv, info, xs, belows,
-                                                 aux)
-                    for bi, idxs, slot in info["out"]:
-                        ji = jnp.asarray(idxs)
-                        y = jnp.einsum("brk,bkn->brn", belows[bi][ji],
-                                       xs[bi][ji],
-                                       preferred_element_type=vv.dtype)
-                        vv = vv.at[aux[slot]].add(-y)
+                        for bi, idxs, slot in info["out"]:
+                            ji = jnp.asarray(idxs)
+                            y = jnp.einsum(
+                                "brk,bkn->brn", belows[bi][ji],
+                                xs[bi][ji],
+                                preferred_element_type=vv.dtype)
+                            vv = vv.at[aux[slot]].add(-y)
+                    else:
+                        # sg/oh: fold each bucket's below update into the
+                        # compact accumulator as soon as it is solved, so
+                        # one bucket's panels are live at a time (BAL-
+                        # scale levels exceed HBM otherwise)
+                        sgp = info["dense"].get("sg")
+                        out_m = out_map_of(info)
+                        acc = jnp.zeros((info["dense"]["R"], nrhs),
+                                        vv.dtype)
+                        any_below = False
+                        for bi, sb in enumerate(info["buckets"]):
+                            vv, x, below = self._diag_solve(
+                                ext, vv, sb, order, False, ret_xb=True,
+                                use_inv=use_inv)
+                            if below is None:
+                                continue
+                            any_below = True
+                            if sgp is not None:
+                                acc = fwd_sg_bucket(acc, info, bi, x,
+                                                    below, aux)
+                            else:
+                                acc = fwd_oh_bucket(acc, info, bi, x,
+                                                    below, aux)
+                            for idxs, slot in out_m.get(bi, ()):
+                                ji = jnp.asarray(idxs)
+                                y = jnp.einsum(
+                                    "brk,bkn->brn", below[ji], x[ji],
+                                    preferred_element_type=vv.dtype)
+                                vv = vv.at[aux[slot]].add(-y)
+                        if any_below:
+                            vv = apply_acc(vv, info, acc, aux)
                 else:
                     for i, sb in enumerate(info["buckets"]):
                         bidx = aux[info["bidx"][i]] \
@@ -2733,38 +2839,66 @@ class PlannedBackend:
                 if info.get("scan") is not None:
                     vv = run_scan(vv, info, True)
                 elif info["dense"] is not None:
-                    belows = {}
-                    for bi, sb in enumerate(info["buckets"]):
-                        if sb.rp > 0:
-                            panels = self._read_panels(ext, sb)
-                            belows[bi] = panels[:, sb.cp:]
-                    if not belows:
-                        dxs = {}
-                    elif info["dense"].get("mode") == "w":
-                        dxs = dense_dx_w(vv, info, belows, aux)
-                    elif info["dense"].get("sg") is not None:
-                        dxs = dense_dx_sg(vv, info, belows, aux)
+                    if info["dense"].get("mode") == "w":
+                        belows = {}
+                        for bi, sb in enumerate(info["buckets"]):
+                            if sb.rp > 0:
+                                panels = self._read_panels(ext, sb)
+                                belows[bi] = panels[:, sb.cp:]
+                        dxs = dense_dx_w(vv, info, belows, aux) \
+                            if belows else {}
+                        for bi, idxs, slot in info["out"]:
+                            ji = jnp.asarray(idxs)
+                            tmp = vv[aux[slot]]
+                            delta = jnp.einsum(
+                                "brk,brn->bkn", belows[bi][ji], tmp,
+                                preferred_element_type=vv.dtype)
+                            dx0 = dxs.get(bi)
+                            if dx0 is None:
+                                sbx = info["buckets"][bi]
+                                dx0 = jnp.zeros(
+                                    (len(sbx.off), sbx.cp, vv.shape[1]),
+                                    vv.dtype)
+                            dxs[bi] = dx0.at[ji].add(delta)
+                        for bi, sb in enumerate(info["buckets"]):
+                            dx = dxs.get(bi)
+                            if dx is not None:
+                                dx = dx[:len(sb.off)]
+                            vv = self._diag_solve(ext, vv, sb, order,
+                                                  True, dx=dx,
+                                                  use_inv=use_inv)
                     else:
-                        dxs = dense_dx(vv, info, belows, aux)
-                    for bi, idxs, slot in info["out"]:
-                        ji = jnp.asarray(idxs)
-                        tmp = vv[aux[slot]]
-                        delta = jnp.einsum("brk,brn->bkn", belows[bi][ji],
-                                           tmp,
-                                           preferred_element_type=vv.dtype)
-                        dx0 = dxs.get(bi)
-                        if dx0 is None:
-                            sbx = info["buckets"][bi]
-                            dx0 = jnp.zeros(
-                                (len(sbx.off), sbx.cp, vv.shape[1]),
-                                vv.dtype)
-                        dxs[bi] = dx0.at[ji].add(delta)
-                    for bi, sb in enumerate(info["buckets"]):
-                        dx = dxs.get(bi)
-                        if dx is not None:
-                            dx = dx[:len(sb.off)]
-                        vv = self._diag_solve(ext, vv, sb, order, True,
-                                              dx=dx, use_inv=use_inv)
+                        # sg/oh: per-bucket panels read + dx + diag solve
+                        # (acc read once BEFORE any of this level's diag
+                        # solves — they only touch this level's rows,
+                        # disjoint from the accumulator's below rows)
+                        sgp = info["dense"].get("sg")
+                        out_m = out_map_of(info)
+                        acc = acc_of_vv(vv, info, aux)
+                        for bi, sb in enumerate(info["buckets"]):
+                            dx, below = None, None
+                            if sb.rp > 0:
+                                panels = self._read_panels(ext, sb)
+                                below = panels[:, sb.cp:]
+                                dx = (dx_sg_bucket if sgp is not None
+                                      else dx_oh_bucket)(
+                                    acc, info, bi, below, aux)
+                            for idxs, slot in out_m.get(bi, ()):
+                                ji = jnp.asarray(idxs)
+                                tmp = vv[aux[slot]]
+                                delta = jnp.einsum(
+                                    "brk,brn->bkn", below[ji], tmp,
+                                    preferred_element_type=vv.dtype)
+                                if dx is None:
+                                    dx = jnp.zeros(
+                                        (len(sb.off), sb.cp, nrhs),
+                                        vv.dtype)
+                                dx = dx.at[ji].add(delta)
+                            if dx is not None:
+                                dx = dx[:len(sb.off)]
+                            vv = self._diag_solve(ext, vv, sb, order,
+                                                  True, dx=dx,
+                                                  use_inv=use_inv)
                 else:
                     for i, sb in enumerate(info["buckets"]):
                         bidx = aux[info["bidx"][i]] \

@@ -321,3 +321,25 @@ def test_dense_outlier_routing():
     want = np.asarray(solver.solve_lt_up_to(
         part, t, solver.solve_l_up_to(part, t, rhs)))
     assert np.max(np.abs(got - want)) < 1e-9
+
+
+def test_panel_cap_splits_buckets(monkeypatch):
+    """Oversized shape groups split into capped sub-buckets (the BAL
+    527k-lump level-0 tensor would TPU-tile to 19.4 GB as ONE bucket —
+    over HBM); factor and solve must be bit-identical fallbacks of the
+    same math. A ~1 MB cap forces several contiguous sub-buckets on a
+    Schur problem while leaving planning economics realistic."""
+    monkeypatch.setenv("BASPACHO_PANEL_BYTES_CAP", str(1 << 20))
+    solver, data = build(3, n=20, fill=0.15, schur=240,
+                         elim_ranges=[0, 240], psize=(3, 4))
+    sched = solver.backend._factor_schedule(0, solver.skel.num_lumps)
+    assert len(sched[0][0]) >= 2  # the cap actually split level 0
+    dense = solver.skel.densify(data, fill_upper_half=True)
+    l_oracle = np.linalg.cholesky(dense)
+    f = np.asarray(solver.factor(data))
+    assert np.max(np.abs(np.tril(solver.skel.densify(f)) - l_oracle)) < 1e-9
+    rng = np.random.RandomState(3)
+    rhs = rng.rand(solver.order, 2)
+    got = np.asarray(solver.solve(f, rhs))
+    want = np.linalg.solve(l_oracle.T, np.linalg.solve(l_oracle, rhs))
+    assert np.max(np.abs(got - want)) < 1e-8
