@@ -1736,12 +1736,17 @@ class PlannedBackend:
                 rows_c = jnp.concatenate(
                     [rows_c,
                      jnp.full((padn, rows_c.shape[1]), R, jnp.int32)])
+            # 2-D scan operand: see _accum_sg_bucket (tiled minor-dim
+            # inflation of a materialized (B, rp, cp) tensor)
+            rp_, cp_ = xb.shape[1], xb.shape[2]
+            x2 = xb.reshape(xb.shape[0], rp_ * cp_)
             b0lo = aux[dense["gslots"][(bi, nb, subp)]]
 
-            def chunk_step(U, b0lo, x=xb, rows_c=rows_c,
-                           nb=nb, subp=subp):
+            def chunk_step(U, b0lo, x2=x2, rows_c=rows_c,
+                           nb=nb, subp=subp, rp_=rp_, cp_=cp_):
                 b0, lo = b0lo[0], b0lo[1]
-                xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
+                xc = jax.lax.dynamic_slice_in_dim(
+                    x2, b0, nb).reshape(nb, rp_, cp_)
                 rc = jax.lax.dynamic_slice_in_dim(
                     rows_c, b0, nb)
                 ids = lo + jax.lax.broadcasted_iota(
@@ -1790,13 +1795,18 @@ class PlannedBackend:
                 x = jnp.concatenate(
                     [x, jnp.zeros((x.shape[0], rp3 - x.shape[1],
                                    x.shape[2]), x.dtype)], axis=1)
-            x4 = x.reshape(x.shape[0], ns3p, s3, lb.cp)
+            # keep the scan operand 2-D: a materialized (B, ns3p, s3, cp)
+            # tensor tiles its tiny minor dims up to (8, 128) — 30-60x
+            # inflation (3 GB per BAL sub-bucket); the 4-D view is taken
+            # per CHUNK inside the scan body instead
+            x2 = x.reshape(x.shape[0], rp3 * lb.cp)
             b0lo = aux[sgp["gslots"][(bi, nb, ssub)]]
 
-            def chunk_step(U, b0lo, x4=x4, sc=sc, nb=nb, ssub=ssub,
-                           cp=lb.cp):
+            def chunk_step(U, b0lo, x2=x2, sc=sc, nb=nb, ssub=ssub,
+                           ns3p=ns3p, cp=lb.cp):
                 b0, slo = b0lo[0], b0lo[1]
-                xc = jax.lax.dynamic_slice_in_dim(x4, b0, nb)
+                xc = jax.lax.dynamic_slice_in_dim(
+                    x2, b0, nb).reshape(nb, ns3p, s3, cp)
                 scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
                 ids = slo + jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, ssub), 2)
@@ -2555,12 +2565,21 @@ class PlannedBackend:
                 (x, below), sc = _sg_pad(
                     sgp, bi, [x0, below0], sc, S)
                 b0lo = aux[islot]
+                # 2-D scan operands: see _accum_sg_bucket (tiled
+                # minor-dim inflation)
+                cpx, nrx = x.shape[1], x.shape[2]
+                rpb, cpb = below.shape[1], below.shape[2]
+                x2 = x.reshape(x.shape[0], cpx * nrx)
+                bl2 = below.reshape(below.shape[0], rpb * cpb)
 
-                def step(acc, b0lo, x=x, below=below, sc=sc, nb=nb,
-                         ssub=ssub, ns3p=ns3p):
+                def step(acc, b0lo, x2=x2, bl2=bl2, sc=sc, nb=nb,
+                         ssub=ssub, ns3p=ns3p, cpx=cpx, nrx=nrx,
+                         rpb=rpb, cpb=cpb):
                     b0, slo = b0lo[0], b0lo[1]
-                    xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
-                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    xc = jax.lax.dynamic_slice_in_dim(
+                        x2, b0, nb).reshape(nb, cpx, nrx)
+                    bl = jax.lax.dynamic_slice_in_dim(
+                        bl2, b0, nb).reshape(nb, rpb, cpb)
                     scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
                     t = jnp.einsum("brc,bcn->brn", bl, xc,
                                    preferred_element_type=x.dtype)
@@ -2594,28 +2613,31 @@ class PlannedBackend:
             sgp = dense["sg"]
             s3, S = sgp["s3"], sgp["S"]
             nrhs = acc.shape[1]
-            dx0 = None
+            cp = info["buckets"][bi].cp
+            dx0 = None  # 2-D (padB, cp*nrhs) carry: see _accum_sg_bucket
             for (bj, nb, ssub), islot in info["sg_gslots"].items():
                 if bj != bi:
                     continue
                 sc = aux[info["sg_slots"][bi]]
                 ns3p = sc.shape[1]
-                cp = info["buckets"][bi].cp
                 rp = below0.shape[1]
                 (below,), sc = _sg_pad(sgp, bi, [below0], sc, S)
                 padB = below.shape[0]
                 b0lo = aux[islot]
+                rpb, cpb = below.shape[1], below.shape[2]
+                bl2 = below.reshape(padB, rpb * cpb)
                 if dx0 is None:
-                    dx0 = jnp.zeros((padB, cp, nrhs), acc.dtype)
+                    dx0 = jnp.zeros((padB, cp * nrhs), acc.dtype)
                 elif dx0.shape[0] < padB:
                     dx0 = jnp.concatenate(
-                        [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
+                        [dx0, jnp.zeros((padB - dx0.shape[0], cp * nrhs),
                                         acc.dtype)])
 
-                def step(dx, b0lo, below=below, sc=sc, nb=nb,
-                         ssub=ssub, ns3p=ns3p, rp=rp):
+                def step(dx, b0lo, bl2=bl2, sc=sc, nb=nb,
+                         ssub=ssub, ns3p=ns3p, rp=rp, rpb=rpb, cpb=cpb):
                     b0, slo = b0lo[0], b0lo[1]
-                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    bl = jax.lax.dynamic_slice_in_dim(
+                        bl2, b0, nb).reshape(nb, rpb, cpb)
                     scc = jax.lax.dynamic_slice_in_dim(sc, b0, nb)
                     ids = slo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, 1, ssub), 2)
@@ -2630,9 +2652,11 @@ class PlannedBackend:
                     delta = jnp.einsum("brc,brn->bcn", bl, t,
                                        preferred_element_type=acc.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(
-                        dx, delta, b0, axis=0), None
+                        dx, delta.reshape(nb, -1), b0, axis=0), None
 
                 dx0, _ = jax.lax.scan(step, dx0, b0lo)
+            if dx0 is not None:
+                dx0 = dx0.reshape(dx0.shape[0], cp, nrhs)
             return dx0
 
         def fwd_oh_bucket(acc, info, bi, x0, below0, aux):
@@ -2658,12 +2682,20 @@ class PlannedBackend:
                         [rows_c, jnp.full((pn, rows_c.shape[1]), R,
                                           jnp.int32)])
                 b0lo = aux[items_slot]
+                # 2-D scan operands: see _accum_sg_bucket
+                cpx, nrx = x.shape[1], x.shape[2]
+                rpb, cpb = below.shape[1], below.shape[2]
+                x2 = x.reshape(x.shape[0], cpx * nrx)
+                bl2 = below.reshape(below.shape[0], rpb * cpb)
 
-                def step(acc, b0lo, x=x, below=below, rows_c=rows_c,
-                         nb=nb, subp=subp):
+                def step(acc, b0lo, x2=x2, bl2=bl2, rows_c=rows_c,
+                         nb=nb, subp=subp, cpx=cpx, nrx=nrx,
+                         rpb=rpb, cpb=cpb):
                     b0, lo = b0lo[0], b0lo[1]
-                    xc = jax.lax.dynamic_slice_in_dim(x, b0, nb)
-                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    xc = jax.lax.dynamic_slice_in_dim(
+                        x2, b0, nb).reshape(nb, cpx, nrx)
+                    bl = jax.lax.dynamic_slice_in_dim(
+                        bl2, b0, nb).reshape(nb, rpb, cpb)
                     rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
                     t = jnp.einsum("brc,bcn->brn", bl, xc,
                                    preferred_element_type=x.dtype)
@@ -2686,14 +2718,14 @@ class PlannedBackend:
             dense = info["dense"]
             R = dense["R"]
             nrhs = acc.shape[1]
-            dx0 = None
+            cp = info["buckets"][bi].cp
+            dx0 = None  # 2-D (padB, cp*nrhs) carry: see _accum_sg_bucket
             for (bj, nb, subp), items_slot in info["gslots"].items():
                 if bj != bi:
                     continue
                 below = below0
                 rows_c = aux[info["slots"][bi]]
                 padB = dense["pad_b"][bi]
-                cp = info["buckets"][bi].cp
                 if padB > below.shape[0]:
                     pn = padB - below.shape[0]
                     below = jnp.concatenate(
@@ -2703,17 +2735,20 @@ class PlannedBackend:
                         [rows_c, jnp.full((pn, rows_c.shape[1]), R,
                                           jnp.int32)])
                 b0lo = aux[items_slot]
+                rpb, cpb = below.shape[1], below.shape[2]
+                bl2 = below.reshape(below.shape[0], rpb * cpb)
                 if dx0 is None:
-                    dx0 = jnp.zeros((padB, cp, nrhs), acc.dtype)
+                    dx0 = jnp.zeros((padB, cp * nrhs), acc.dtype)
                 elif dx0.shape[0] < padB:
                     dx0 = jnp.concatenate(
-                        [dx0, jnp.zeros((padB - dx0.shape[0], cp, nrhs),
+                        [dx0, jnp.zeros((padB - dx0.shape[0], cp * nrhs),
                                         acc.dtype)])
 
-                def step(dx, b0lo, below=below, rows_c=rows_c,
-                         nb=nb, subp=subp):
+                def step(dx, b0lo, bl2=bl2, rows_c=rows_c,
+                         nb=nb, subp=subp, rpb=rpb, cpb=cpb):
                     b0, lo = b0lo[0], b0lo[1]
-                    bl = jax.lax.dynamic_slice_in_dim(below, b0, nb)
+                    bl = jax.lax.dynamic_slice_in_dim(
+                        bl2, b0, nb).reshape(nb, rpb, cpb)
                     rc = jax.lax.dynamic_slice_in_dim(rows_c, b0, nb)
                     ids = lo + jax.lax.broadcasted_iota(
                         jnp.int32, (1, 1, subp), 2)
@@ -2725,9 +2760,11 @@ class PlannedBackend:
                     delta = jnp.einsum("brc,brn->bcn", bl, t,
                                        preferred_element_type=acc.dtype)
                     return jax.lax.dynamic_update_slice_in_dim(
-                        dx, delta, b0, axis=0), None
+                        dx, delta.reshape(nb, -1), b0, axis=0), None
 
                 dx0, _ = jax.lax.scan(step, dx0, b0lo)
+            if dx0 is not None:
+                dx0 = dx0.reshape(dx0.shape[0], cp, nrhs)
             return dx0
 
         def acc_of_vv(vv, info, aux):

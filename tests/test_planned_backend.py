@@ -343,3 +343,45 @@ def test_panel_cap_splits_buckets(monkeypatch):
     got = np.asarray(solver.solve(f, rhs))
     want = np.linalg.solve(l_oracle.T, np.linalg.solve(l_oracle, rhs))
     assert np.max(np.abs(got - want)) < 1e-8
+
+
+def test_dense_sg_nine_wide_spans():
+    """sg accumulation with 9-wide bottom spans — the BAL camera shape
+    (s3=9, the size the north-star problem runs at level 0): must match
+    the row-granular form on factor AND solve, and the solve must match
+    the dense oracle."""
+    import os
+
+    gen = SparseMatGenerator.gen_flat(16, 0.3, seed=9)
+    gen.add_schur_set(220, 0.05)
+    ss = gen.to_structure()
+    psize = np.concatenate([np.full(220, 3), np.full(16, 9)])
+    results = {}
+    for mode in ("sg", "row"):
+        os.environ["BASPACHO_FORCE_DENSE_MODE"] = mode
+        try:
+            solver = create_solver(Settings(backend=BackendType.PLANNED),
+                                   psize, ss, sparse_elim_ranges=[0, 220])
+            if mode == "sg":
+                sched = solver.backend._factor_schedule(
+                    0, solver.skel.num_lumps)
+                sgs = [lev[3].get("sg") for lev in sched
+                       if lev[3] is not None]
+                assert any(s is not None and s["s3"] == 9 for s in sgs), \
+                    "expected an s3=9 span-granular level"
+            data = random_spd_data(solver.data_size, solver.order, 4)
+            data = np.asarray(solver.skel.damp(data, 0.0,
+                                               solver.order * 1.5))
+            f = solver.factor(data)
+            rhs = np.random.RandomState(6).rand(solver.order, 1)
+            x = solver.solve(f, rhs)
+            results[mode] = (np.asarray(f), np.asarray(x))
+        finally:
+            os.environ.pop("BASPACHO_FORCE_DENSE_MODE", None)
+        dense = solver.skel.densify(data, fill_upper_half=True)
+        want = np.linalg.solve(dense, rhs)
+        assert np.max(np.abs(results[mode][1] - want)) < 1e-7
+    np.testing.assert_allclose(results["sg"][0], results["row"][0],
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(results["sg"][1], results["row"][1],
+                               rtol=1e-7, atol=1e-9)
