@@ -105,28 +105,33 @@ def _splu_baseline(solver, hdata, grad, log):
 
     sk = solver.skel
     h = np.asarray(hdata, dtype=np.float64)
-    rows, cols, vals = [], [], []
-    span_start = sk.span_start
-    for l in range(sk.num_lumps):
-        c0 = int(sk.lump_start[l])
-        w = int(sk.lump_start[l + 1]) - c0
-        st = int(sk.col_stride[l])
-        for ci in range(int(sk.chain_col_ptr[l]),
-                        int(sk.chain_col_ptr[l + 1])):
-            s = int(sk.chain_row_span[ci])
-            r0 = int(span_start[s])
-            nr = int(span_start[s + 1]) - r0
-            off = int(sk.chain_data[ci])
-            blk = h[off:off + nr * st].reshape(nr, st)[:, :w]
-            rr, cc = np.meshgrid(np.arange(nr) + r0, np.arange(w) + c0,
-                                 indexing="ij")
-            rows.append(rr.ravel())
-            cols.append(cc.ravel())
-            vals.append(blk.ravel())
-    r = np.concatenate(rows)
-    c = np.concatenate(cols)
-    v = np.concatenate(vals)
-    lower = sp.coo_matrix((v, (r, c)), shape=(sk.order, sk.order)).tocsr()
+    span_start = np.asarray(sk.span_start, dtype=np.int64)
+    lump_start = np.asarray(sk.lump_start, dtype=np.int64)
+    ccp = np.asarray(sk.chain_col_ptr, dtype=np.int64)
+    crs = np.asarray(sk.chain_row_span, dtype=np.int64)
+    cstr = np.asarray(sk.col_stride, dtype=np.int64)
+    # vectorized block triplet extraction (a Python loop costs minutes at
+    # BAL scale: 527k lumps / 3M chains / ~100M elements)
+    nch = len(crs)
+    cdat = np.asarray(sk.chain_data, dtype=np.int64)[:nch]
+    lump_of = np.repeat(np.arange(sk.num_lumps, dtype=np.int64),
+                        np.diff(ccp))
+    nr_c = span_start[crs + 1] - span_start[crs]           # rows per chain
+    w_c = lump_start[lump_of + 1] - lump_start[lump_of]    # cols per chain
+    st_c = cstr[lump_of]
+    ne_c = nr_c * w_c                                      # elems per chain
+    tot = int(ne_c.sum())
+    base = np.repeat(np.cumsum(ne_c) - ne_c, ne_c)
+    k = np.arange(tot, dtype=np.int64) - base              # elem id in blk
+    wr = np.repeat(w_c, ne_c)
+    i_loc = k // wr
+    j_loc = k - i_loc * wr
+    r = np.repeat(span_start[crs], ne_c) + i_loc
+    c = np.repeat(lump_start[lump_of], ne_c) + j_loc
+    v = h[np.repeat(cdat, ne_c) + i_loc * np.repeat(st_c, ne_c) + j_loc]
+    m = r >= c  # drop diag blocks' dead upper-triangle storage
+    lower = sp.coo_matrix((v[m], (r[m], c[m])),
+                          shape=(sk.order, sk.order)).tocsr()
     strict = sp.triu(lower.T, k=1)
     full = (lower + strict).tocsc()
     log(f"cpu baseline: system order={sk.order} nnz={full.nnz}")
