@@ -385,3 +385,31 @@ def test_dense_sg_nine_wide_spans():
                                rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(results["sg"][1], results["row"][1],
                                rtol=1e-7, atol=1e-9)
+
+
+def test_planned_batched_sg_update_path(monkeypatch):
+    """Batched (vmapped) factor+solve through the span-granular (sg)
+    dense update — the mode BAL-scale and schursize=50000 levels run."""
+    monkeypatch.setenv("BASPACHO_FORCE_DENSE_MODE", "sg")
+    gen = SparseMatGenerator.gen_flat(40, 0.3, seed=12)
+    gen.add_schur_set(300, 0.06)
+    ss = gen.to_structure()
+    solver = create_solver(Settings(backend=BackendType.PLANNED),
+                           np.full(340, 3), ss,
+                           sparse_elim_ranges=[0, 300])
+    sched = solver.backend._factor_schedule(0, solver.skel.num_lumps)
+    assert any(lev[3] is not None and lev[3].get("sg") is not None
+               for lev in sched), "sg path not hit"
+    data = random_spd_data(solver.data_size, solver.order, 8)
+    data = np.asarray(solver.skel.damp(data, 0.0, solver.order * 1.5))
+    batch = 3
+    datas = np.stack([data * (1.0 + 0.02 * b) for b in range(batch)])
+    rhs = np.random.RandomState(4).rand(batch, solver.order, 1)
+    fb = np.asarray(solver.factor(datas))
+    xb = np.asarray(solver.solve(fb, rhs))
+    for b in range(batch):
+        single_f = np.asarray(solver.factor(datas[b]))
+        assert np.max(np.abs(fb[b] - single_f)) < 1e-10
+        dense = solver.skel.densify(datas[b], fill_upper_half=True)
+        want = np.linalg.solve(dense, rhs[b])
+        assert np.max(np.abs(xb[b] - want)) < 1e-7
