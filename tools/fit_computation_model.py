@@ -44,22 +44,36 @@ def main():
         _emit(fit_computation_model(records))
         return
 
-    records = []
+    # a rich fit basis needs buckets of many shapes (cp, rp, B): flats
+    # merge down to a couple of big lumps (few samples), so mix in grid
+    # and meridian topologies whose schedules keep dozens of levels of
+    # varied supernode shapes (the reference's bench -Z likewise sweeps
+    # its problem generators, Bench.cpp:290-358)
+    problems = []
     for n in args.sizes:
         for fill in args.fills:
-            gen = SparseMatGenerator.gen_flat(n, fill, seed=37)
-            ss = gen.to_structure()
-            solver = create_solver(
-                Settings(backend=BackendType.PLANNED), np.full(n, 3), ss)
-            data = random_spd_data(solver.data_size, solver.order, 0,
-                                   np.float32)
-            data = np.asarray(solver.skel.damp(data, 0.0,
-                                               solver.order * 1.5),
-                              dtype=np.float32)
-            rec = profile_factor(solver, data)
-            print(f"n={n} fill={fill}: {len(rec)} samples",
-                  file=sys.stderr)
-            records.extend(rec)
+            problems.append((f"flat{n}/{fill}",
+                             SparseMatGenerator.gen_flat(n, fill, seed=37)))
+    for w in (20, 40, 60):
+        problems.append((f"grid{w}",
+                         SparseMatGenerator.gen_grid(w, w, 0.25)))
+    problems.append(("meri3", SparseMatGenerator.gen_meridians(
+        3, 60, 0.4, 2, 60, 20, 20, seed=19)))
+
+    records = []
+    for name, gen in problems:
+        ss = gen.to_structure()
+        n = ss.order
+        solver = create_solver(
+            Settings(backend=BackendType.PLANNED), np.full(n, 3), ss)
+        data = random_spd_data(solver.data_size, solver.order, 0,
+                               np.float32)
+        data = np.asarray(solver.skel.damp(data, 0.0,
+                                           solver.order * 1.5),
+                          dtype=np.float32)
+        rec = profile_factor(solver, data)
+        print(f"{name}: {len(rec)} samples", file=sys.stderr)
+        records.extend(rec)
 
     _emit(fit_computation_model(records))
 
