@@ -583,18 +583,23 @@ def _run_bal_full(args):
         # f64 matvecs + f32 solves — Solver.solve_refined)
         h64 = jnp.asarray(np.asarray(hdata, dtype=np.float64))
         g64 = jnp.asarray(np.asarray(grad, dtype=np.float64))
-        t0 = time.perf_counter()
-        xr = solver.solve_refined(h64, f, -g64, iterations=2)
-        _force(xr)
-        t_ref = time.perf_counter() - t0
-        rr = solver.add_mv_from(h64, 0, xr, jnp.zeros_like(xr),
-                                1.0) + g64
-        rel_r = float(jnp.linalg.norm(rr) / jnp.linalg.norm(g64))
-        log(f"refined solve: {t_ref*1e3:.1f} ms "
-            f"(first call, incl. compile)  relative residual: "
-            f"{rel_r:.2e}")
+        iters = 2
+        while True:
+            t0 = time.perf_counter()
+            xr = solver.solve_refined(h64, f, -g64, iterations=iters)
+            _force(xr)
+            t_ref = time.perf_counter() - t0
+            rr = solver.add_mv_from(h64, 0, xr, jnp.zeros_like(xr),
+                                    1.0) + g64
+            rel_r = float(jnp.linalg.norm(rr) / jnp.linalg.norm(g64))
+            log(f"refined solve ({iters} iters): {t_ref*1e3:.1f} ms "
+                f"(first call, incl. compile)  relative residual: "
+                f"{rel_r:.2e}")
+            if rel_r <= 1e-10 or iters >= 4:
+                break
+            iters += 1  # escalate toward the 1e-10 f64 contract
         t_ref = time_op(lambda: solver.solve_refined(
-            h64, f, -g64, iterations=2), n=max(2, args.reps // 2))
+            h64, f, -g64, iterations=iters), n=max(2, args.reps // 2))
         log(f"refined solve (amortized): {t_ref*1e3:.2f} ms")
     ref_s = 13.1  # CHOLMOD-scale anchor (FLAT n=4000 time, see above)
     splu_s = None
