@@ -3095,6 +3095,13 @@ class PlannedBackend:
             oo = jnp.concatenate([out, jnp.zeros((1, nrhs), out.dtype)])
             for sb in buckets:
                 cp = sb.cp
+                # scheduling fence: ties each bucket's padded panel read
+                # (33x tiled expansion on small-block panels) to the
+                # PREVIOUS bucket's output update, so XLA cannot hoist
+                # every bucket's multi-GB read to the program start
+                # (measured: 10 coexisting reads = 19 GB HLO temp at BAL
+                # scale, over the 16 GB HBM)
+                ext, oo = jax.lax.optimization_barrier((ext, oo))
                 panels = self._read_panels(ext, sb)
                 diag = panels[:, :cp]
                 i_ = jax.lax.broadcasted_iota(jnp.int32, (1, cp, cp), 1)
