@@ -96,12 +96,11 @@ def time_device(chain, budget_s=1.2):
     return max(t_k2 - t_k1, 1e-9) / (k2 - k1)
 
 
-def _splu_baseline(solver, hdata, grad, log):
-    """Host CPU sparse-direct baseline (scipy SuperLU) on the identical
-    full system: the role CHOLMOD plays in the reference's benchmarks."""
-    import time as _t
+def _assemble_csr64(solver, hdata):
+    """Assemble the full symmetric system as a host scipy CSR (float64)
+    from the coalesced lower-half data vector. Used by the SuperLU
+    baseline and by host-residual iterative refinement."""
     import scipy.sparse as sp
-    from scipy.sparse.linalg import splu
 
     sk = solver.skel
     h = np.asarray(hdata, dtype=np.float64)
@@ -133,8 +132,16 @@ def _splu_baseline(solver, hdata, grad, log):
     lower = sp.coo_matrix((v[m], (r[m], c[m])),
                           shape=(sk.order, sk.order)).tocsr()
     strict = sp.triu(lower.T, k=1)
-    full = (lower + strict).tocsc()
-    log(f"cpu baseline: system order={sk.order} nnz={full.nnz}")
+    return (lower + strict).tocsc()
+
+
+def _splu_baseline(full, order, grad, log):
+    """Host CPU sparse-direct baseline (scipy SuperLU) on the identical
+    full system: the role CHOLMOD plays in the reference's benchmarks."""
+    import time as _t
+    from scipy.sparse.linalg import splu
+
+    log(f"cpu baseline: system order={order} nnz={full.nnz}")
     b = np.asarray(-grad, dtype=np.float64)
     t0 = _t.perf_counter()
     lu = splu(full)
@@ -239,7 +246,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if args.dtype == "f64" or args.refined:
+    if args.dtype == "f64":
+        # (--refined no longer needs x64 on device: its f64 residuals
+        # run on the host, only f32 correction solves touch the chip)
         jax.config.update("jax_enable_x64", True)
 
     dtype = np.float32 if args.dtype == "f32" else np.float64
@@ -576,35 +585,49 @@ def _run_bal_full(args):
     log(f"solve relative residual: {rel:.2e}")
     t_ref = 0.0
     rel_r = None
+    full64 = None
     if args.refined:
-        # the f64 accuracy contract at full scale: iterative
-        # refinement against an f64 copy of the system (factor and
-        # all O(n^3) work stay f32; residual+correction rounds are
-        # f64 matvecs + f32 solves — Solver.solve_refined)
-        h64 = jnp.asarray(np.asarray(hdata, dtype=np.float64))
-        g64 = jnp.asarray(np.asarray(grad, dtype=np.float64))
+        # the f64 accuracy contract at full scale (FactorTest.cpp
+        # epsilons): iterative refinement with HOST float64 residuals —
+        # the TPU has no native f64, and the emulated f64 block matvec
+        # at this scale doubles every padded panel buffer (measured
+        # ResourceExhausted); the correction solves stay f32 on device
+        # (all O(n^3) work), the residual is one host CSR matvec.
+        full64 = _assemble_csr64(solver, hdata)
+        b64 = np.asarray(-grad, dtype=np.float64).reshape(-1)
+
+        def refined(iters):
+            xr = np.asarray(solver.solve(f, -grad),
+                            dtype=np.float64).reshape(-1)
+            for _ in range(iters):
+                rr = b64 - full64 @ xr
+                dx = solver.solve(f, jnp.asarray(
+                    rr.astype(np.float32)[:, None]))
+                xr = xr + np.asarray(dx, dtype=np.float64).reshape(-1)
+            return xr
+
         iters = 2
         while True:
             t0 = time.perf_counter()
-            xr = solver.solve_refined(h64, f, -g64, iterations=iters)
-            _force(xr)
+            xr = refined(iters)
             t_ref = time.perf_counter() - t0
-            rr = solver.add_mv_from(h64, 0, xr, jnp.zeros_like(xr),
-                                    1.0) + g64
-            rel_r = float(jnp.linalg.norm(rr) / jnp.linalg.norm(g64))
+            rel_r = float(np.linalg.norm(b64 - full64 @ xr) /
+                          np.linalg.norm(b64))
             log(f"refined solve ({iters} iters): {t_ref*1e3:.1f} ms "
-                f"(first call, incl. compile)  relative residual: "
-                f"{rel_r:.2e}")
+                f"(f32 device solves + host f64 residuals)  relative "
+                f"residual: {rel_r:.2e}")
             if rel_r <= 1e-10 or iters >= 4:
                 break
             iters += 1  # escalate toward the 1e-10 f64 contract
-        t_ref = time_op(lambda: solver.solve_refined(
-            h64, f, -g64, iterations=iters), n=max(2, args.reps // 2))
+        t_ref = time_op(lambda: jnp.asarray(refined(iters)[:8]),
+                        n=max(2, args.reps // 2))
         log(f"refined solve (amortized): {t_ref*1e3:.2f} ms")
     ref_s = 13.1  # CHOLMOD-scale anchor (FLAT n=4000 time, see above)
     splu_s = None
     if args.cpu_baseline:
-        splu_s = _splu_baseline(solver, hdata, grad, log)
+        if full64 is None:
+            full64 = _assemble_csr64(solver, hdata)
+        splu_s = _splu_baseline(full64, solver.order, grad, log)
         log(f"baselines: measured SuperLU {splu_s:.2f}s | borrowed "
             f"CHOLMOD-scale anchor {ref_s:.2f}s")
         ref_s = splu_s
