@@ -135,21 +135,31 @@ def _assemble_csr64(solver, hdata):
     return (lower + strict).tocsc()
 
 
-def _splu_baseline(full, order, grad, log):
+def _splu_baseline(full, order, grad, log, natural=False):
     """Host CPU sparse-direct baseline (scipy SuperLU) on the identical
-    full system: the role CHOLMOD plays in the reference's benchmarks."""
+    full system: the role CHOLMOD plays in the reference's benchmarks.
+    `natural=True` keeps the solver's own elimination ordering (the
+    matrix is landmarks-first on Schur problems, so fill stays in the
+    camera block) with symmetric-mode diagonal pivoting — SuperLU's
+    default COLAMD treats the SPD system as general LU and its fill
+    exhausts host RAM at BAL scale."""
     import time as _t
     from scipy.sparse.linalg import splu
 
     log(f"cpu baseline: system order={order} nnz={full.nnz}")
     b = np.asarray(-grad, dtype=np.float64)
+    kw = {}
+    if natural:
+        kw = dict(permc_spec="NATURAL", diag_pivot_thresh=0.0,
+                  options=dict(SymmetricMode=True))
     t0 = _t.perf_counter()
-    lu = splu(full)
+    lu = splu(full, **kw)
     t_f = _t.perf_counter() - t0
     t0 = _t.perf_counter()
     lu.solve(b)
     t_s = _t.perf_counter() - t0
-    log(f"cpu SuperLU: factor {t_f:.2f}s solve {t_s*1e3:.1f}ms")
+    log(f"cpu SuperLU{' (natural/symmetric)' if natural else ''}: "
+        f"factor {t_f:.2f}s solve {t_s*1e3:.1f}ms")
     return t_f + t_s
 
 
@@ -627,10 +637,16 @@ def _run_bal_full(args):
     if args.cpu_baseline:
         if full64 is None:
             full64 = _assemble_csr64(solver, hdata)
-        splu_s = _splu_baseline(full64, solver.order, grad, log)
-        log(f"baselines: measured SuperLU {splu_s:.2f}s | borrowed "
-            f"CHOLMOD-scale anchor {ref_s:.2f}s")
-        ref_s = splu_s
+        try:
+            splu_s = _splu_baseline(full64, solver.order, grad, log,
+                                    natural=True)
+        except MemoryError:
+            log("cpu baseline: SuperLU out of host memory; keeping the "
+                "borrowed CHOLMOD-scale anchor")
+        if splu_s is not None:
+            log(f"baselines: measured SuperLU {splu_s:.2f}s | borrowed "
+                f"CHOLMOD-scale anchor {ref_s:.2f}s")
+            ref_s = splu_s
     out = {
         "metric": "bal871_527k_factor_solve_ms",
         "value": round((tf + ts) * 1e3, 3), "unit": "ms",
